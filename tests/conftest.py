@@ -1,0 +1,21 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on host CPU devices
+(xla_force_host_platform_device_count); the driver separately dry-runs
+the multi-chip path via __graft_entry__.dryrun_multichip.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# This JAX build defaults matmuls to bf16 passes even on CPU; tests check
+# f32 numerics. Model code opts into bf16 explicitly where it wants it.
+jax.config.update("jax_default_matmul_precision", "float32")
