@@ -1,0 +1,141 @@
+"""Cross-attention feature refinement + overlap prediction (mask-aware).
+
+Mirrors the behavior of the reference's attention stack
+(reference modeling/dpfm.py:16-151): 1x1-conv MLP with InstanceNorm,
+multi-head attention with a (dim, heads) channel split, bidirectional
+sequential cross-attention with residuals, and a sigmoid overlap head on
+L2-normalized refined features. The V1 x V2 attention runs as one fused
+masked softmax-matmul pair on the MXU — no empty_cache crutches, no
+subsampled-attention workaround (reference modeling/dpfm.py:100-118);
+for larger point budgets the Pallas blockwise kernel in
+ops/pallas/attention.py drops in.
+
+Only the attention_type="normal", cross_sampling_ratio=1.0 path exists:
+it is the only functional configuration of the reference (SURVEY §5,
+"half-broken subsampled-attention path") and the one its shipped config
+uses (dpfm_orig.yaml).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.masking import masked_mean, masked_softmax
+
+
+def masked_instance_norm(x, valid, eps: float = 1e-5):
+    """InstanceNorm over the point axis per channel, affine-free.
+
+    x (V, C), valid (V,). Matches torch InstanceNorm1d semantics
+    (normalize each channel across positions) restricted to valid rows.
+    """
+    m = valid[:, None]
+    mu = masked_mean(x, m, axis=0)
+    var = masked_mean((x - mu[None]) ** 2, m, axis=0)
+    return (x - mu[None]) / jnp.sqrt(var[None] + eps)
+
+
+class ConvMLP(nn.Module):
+    """1x1-conv MLP: Dense + InstanceNorm + ReLU between layers."""
+    dims: tuple  # e.g. (64, 32)
+
+    @nn.compact
+    def __call__(self, x, valid):
+        n = len(self.dims)
+        for i, d in enumerate(self.dims):
+            x = nn.Dense(d, name=f"lin_{i}")(x)
+            if i + 1 < n:
+                x = masked_instance_norm(x, valid)
+                x = nn.relu(x)
+        return x
+
+
+class MultiHeadedAttention(nn.Module):
+    num_heads: int
+    d_model: int
+
+    @nn.compact
+    def __call__(self, query, key, value, q_valid, kv_valid):
+        """query (N, d_model), key/value (M, d_model) -> (N, d_model).
+
+        Channel split is (dim, heads) with dim-major order to match the
+        reference's view(batch, dim, heads, N) layout — required for
+        checkpoint parity.
+        """
+        dim = self.d_model // self.num_heads
+        q = nn.Dense(self.d_model, name="proj_q")(query)
+        k = nn.Dense(self.d_model, name="proj_k")(key)
+        v = nn.Dense(self.d_model, name="proj_v")(value)
+        # (N, d_model) -> (N, dim, heads)
+        q = q.reshape(-1, dim, self.num_heads)
+        k = k.reshape(-1, dim, self.num_heads)
+        v = v.reshape(-1, dim, self.num_heads)
+        scores = jnp.einsum("ndh,mdh->hnm", q, k) / (dim ** 0.5)
+        prob = masked_softmax(scores, kv_valid[None, None, :], axis=-1)
+        out = jnp.einsum("hnm,mdh->ndh", prob, v)
+        out = out.reshape(-1, self.d_model)
+        out = nn.Dense(self.d_model, name="merge")(out)
+        return out * q_valid[:, None]
+
+
+class AttentionalPropagation(nn.Module):
+    feature_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, source, x_valid, src_valid):
+        message = MultiHeadedAttention(self.num_heads, self.feature_dim,
+                                       name="attn")(x, source, source,
+                                                    x_valid, src_valid)
+        combined = jnp.concatenate([x, message], axis=-1)
+        return ConvMLP((self.feature_dim * 2, self.feature_dim),
+                       name="mlp")(combined, x_valid)
+
+
+class OverlapPredictorNet(nn.Module):
+    overlap_feat_dim: int = 32
+
+    @nn.compact
+    def __call__(self, feat_x, feat_y, x_valid, y_valid):
+        lin0 = nn.Dense(self.overlap_feat_dim, name="lin0")
+        lin1 = nn.Dense(1, name="lin1")
+
+        def head(f):  # shared weights across both shapes (Siamese head)
+            norm = f / jnp.maximum(
+                jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+            h = lin1(nn.relu(lin0(norm)))
+            return nn.sigmoid(h)[:, 0]
+
+        sx = head(feat_x) * x_valid
+        sy = head(feat_y) * y_valid
+        return sx, sy
+
+
+class CrossAttentionRefinementNet(nn.Module):
+    n_in: int = 32
+    num_heads: int = 2
+    gnn_dim: int = 32
+    n_layers: int = 1
+    overlap_feat_dim: int = 32
+
+    @nn.compact
+    def __call__(self, feat_x, feat_y, x_valid, y_valid):
+        """feat_x (V1, n_in), feat_y (V2, n_in) -> refined feats + overlaps."""
+        first = nn.Dense(self.gnn_dim, name="first_lin")
+        desc0 = first(feat_x)
+        desc1 = first(feat_y)
+        for li in range(self.n_layers):
+            layer = AttentionalPropagation(self.gnn_dim, self.num_heads,
+                                           name=f"layer_{li}")
+            # Sequential bidirectional update with a shared layer — desc1's
+            # update sees the already-updated desc0 (reference
+            # modeling/dpfm.py:100-104).
+            desc0 = desc0 + layer(desc0, desc1, x_valid, y_valid)
+            desc1 = desc1 + layer(desc1, desc0, y_valid, x_valid)
+        last = nn.Dense(self.n_in, name="last_lin")
+        ref_x = last(desc0) * x_valid[:, None]
+        ref_y = last(desc1) * y_valid[:, None]
+        overlap_x, overlap_y = OverlapPredictorNet(
+            self.overlap_feat_dim, name="overlap")(ref_x, ref_y,
+                                                   x_valid, y_valid)
+        return ref_x, ref_y, overlap_x, overlap_y

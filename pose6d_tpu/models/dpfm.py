@@ -1,0 +1,102 @@
+"""DPFMNet: Siamese DiffusionNet + cross-attention refinement + fmap head.
+
+Assembly mirrors the reference model (reference models/dpfm.py:14-82):
+shared DiffusionNet encoder over CAD and partial-cloud branches (the PC
+branch uses only mass/evals/evecs — the reference nulls L/grads at
+models/dpfm.py:51, and the spectral diffusion method needs neither),
+cross-attention refinement with overlap prediction, and the regularized
+functional-map solve truncated to n_fmap=30.
+
+Single-sample module: batch with jax.vmap over a dict of padded arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .attention import CrossAttentionRefinementNet
+from .diffusion_net import DiffusionNet
+from .fmap import solve_fmap
+
+
+@dataclasses.dataclass(frozen=True)
+class DPFMConfig:
+    """Model hyperparameters (reference config/dpfm_orig.yaml)."""
+    c_in: int = 3
+    n_feat: int = 32
+    width: int = 64
+    n_blocks: int = 2
+    n_fmap: int = 30
+    k_eig: int = 64
+    lambda_: float = 100.0
+    resolvent_gamma: float = 0.5
+    robust: bool = True
+    num_heads: int = 2
+    gnn_dim: int = 32
+    ref_n_layers: int = 1
+    overlap_feat_dim: int = 32
+    # Input normalization (reference models/dpfm.py:53: (xyz-110)/50).
+    norm_shift: float = 110.0
+    norm_scale: float = 50.0
+
+    @classmethod
+    def from_yaml_dict(cls, cfg: dict) -> "DPFMConfig":
+        """Build from the reference's dpfm_orig.yaml structure."""
+        f, a, o = cfg["fmap"], cfg["attention"], cfg["overlap"]
+        return cls(
+            c_in=f["C_in"], n_feat=f["n_feat"], n_fmap=f["n_fmap"],
+            k_eig=f["k_eig"], lambda_=float(f["lambda_"]),
+            resolvent_gamma=float(f["resolvant_gamma"]), robust=f["robust"],
+            num_heads=a["num_head"], gnn_dim=a["gnn_dim"],
+            ref_n_layers=a["ref_n_layers"],
+            overlap_feat_dim=o["overlap_feat_dim"])
+
+
+class DPFMNet(nn.Module):
+    cfg: DPFMConfig = DPFMConfig()
+
+    @nn.compact
+    def __call__(self, cad: dict, pc: dict):
+        """Forward one (CAD, partial-cloud) pair.
+
+        cad/pc dicts of padded arrays:
+          xyz (V, 3), mass (V,), evals (K,), evecs (V, K), valid (V,) bool.
+
+        Returns dict:
+          C (n_fmap, n_fmap) functional map CAD->PC,
+          overlap12 (V1,), overlap21 (V2,) sigmoid overlap scores,
+          feat1/feat2 (V, n_feat) features fed to the fmap head,
+          ref_feat1/ref_feat2 refined features.
+        """
+        c = self.cfg
+        encoder = DiffusionNet(c_in=c.c_in, c_out=c.n_feat, width=c.width,
+                               n_blocks=c.n_blocks, name="feature_extractor")
+
+        def branch(shape):
+            feats = (shape["xyz"] - c.norm_shift) / c.norm_scale
+            return encoder(feats, shape["mass"], shape["evals"],
+                           shape["evecs"], shape["valid"])
+
+        feat1 = branch(cad)
+        feat2 = branch(pc)
+
+        ref1, ref2, overlap12, overlap21 = CrossAttentionRefinementNet(
+            n_in=c.n_feat, num_heads=c.num_heads, gnn_dim=c.gnn_dim,
+            n_layers=c.ref_n_layers, overlap_feat_dim=c.overlap_feat_dim,
+            name="feat_refiner")(feat1, feat2, cad["valid"], pc["valid"])
+
+        use1, use2 = (ref1, ref2) if c.robust else (feat1, feat2)
+
+        k = c.n_fmap
+        # evecs_trans = Phi[:, :k]^T diag(mass)  (reference models/dpfm.py:66-75)
+        et1 = cad["evecs"][:, :k].T * cad["mass"][None, :]
+        et2 = pc["evecs"][:, :k].T * pc["mass"][None, :]
+        C = solve_fmap(use1, use2, cad["evals"][:k], pc["evals"][:k],
+                       et1, et2, lambda_=c.lambda_, gamma=c.resolvent_gamma)
+        return {
+            "C": C, "overlap12": overlap12, "overlap21": overlap21,
+            "feat1": use1, "feat2": use2,
+            "ref_feat1": ref1, "ref_feat2": ref2,
+        }
