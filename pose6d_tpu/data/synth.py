@@ -1,0 +1,100 @@
+"""Synthetic BOP scene generation: z-buffer rasterizer + tree writer.
+
+Renders a CAD mesh at known poses into BOP-format depth/mask/JSON trees.
+Used by the test suite and the benchmark as an exact-ground-truth data
+source (the reference repo ships no GT poses in its sample data), and by
+the visualization CLI for pose overlays.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+FX, FY, CX, CY = 572.4114, 573.57043, 325.2611, 242.049
+W, H = 640, 480
+
+
+def default_intrinsics():
+    return np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1.0]])
+
+
+def rasterize_depth(verts_mm, faces, R, t_mm, w=W, h=H):
+    """Z-buffer depth render (mm) of a mesh under pose x_cam = R x + t."""
+    cam = verts_mm @ R.T + t_mm
+    z = cam[:, 2]
+    u = FX * cam[:, 0] / np.maximum(z, 1e-9) + CX
+    v = FY * cam[:, 1] / np.maximum(z, 1e-9) + CY
+    depth = np.full((h, w), np.inf)
+    pix = np.stack([u, v], 1)
+    for f in faces:
+        p = pix[f]
+        zz = z[f]
+        if (zz <= 0).any():
+            continue
+        lo = np.floor(p.min(0)).astype(int)
+        hi = np.ceil(p.max(0)).astype(int) + 1
+        lo = np.maximum(lo, 0)
+        hi = np.minimum(hi, [w, h])
+        if (hi <= lo).any():
+            continue
+        xs = np.arange(lo[0], hi[0])
+        ys = np.arange(lo[1], hi[1])
+        gx, gy = np.meshgrid(xs, ys)
+        a, b, c = p
+        det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
+        if abs(det) < 1e-12:
+            continue
+        l1 = ((b[1] - c[1]) * (gx - c[0]) + (c[0] - b[0]) * (gy - c[1])) / det
+        l2 = ((c[1] - a[1]) * (gx - c[0]) + (a[0] - c[0]) * (gy - c[1])) / det
+        l3 = 1 - l1 - l2
+        inside = (l1 >= 0) & (l2 >= 0) & (l3 >= 0)
+        if not inside.any():
+            continue
+        zi = 1.0 / (l1 / zz[0] + l2 / zz[1] + l3 / zz[2])
+        patch = depth[lo[1]:hi[1], lo[0]:hi[0]]
+        upd = inside & (zi < patch)
+        patch[upd] = zi[upd]
+    depth[~np.isfinite(depth)] = 0
+    return depth
+
+
+def write_bop_scene(root: Path, name: str, mesh: dict, obj_id: int, poses,
+                    diameter_mm: float, mode="train_pbr"):
+    """Write a BOP tree with one frame per (R, t_mm) pose in `poses`."""
+    from PIL import Image
+
+    from .ply import write_ply_mesh
+    root = Path(root)
+    ds = root / name
+    scene = ds / mode / "000000"
+    for sub in ("depth", "mask_visib", "rgb"):
+        (scene / sub).mkdir(parents=True, exist_ok=True)
+    models = ds / "models"
+    models.mkdir(parents=True, exist_ok=True)
+    write_ply_mesh(models / f"obj_{obj_id:06d}.ply",
+                   mesh["verts"], mesh["faces"])
+    (models / "models_info.json").write_text(
+        json.dumps({str(obj_id): {"diameter": diameter_mm}}))
+
+    cams, gts, infos = {}, {}, {}
+    for fr, (R, t_mm) in enumerate(poses):
+        depth = rasterize_depth(mesh["verts"], mesh["faces"], R, t_mm)
+        mask = (depth > 0).astype(np.uint8) * 255
+        d16 = np.clip(depth, 0, 65535).astype(np.uint16)
+        Image.fromarray(d16).save(scene / "depth" / f"{fr:06d}.png")
+        Image.fromarray(mask).save(
+            scene / "mask_visib" / f"{fr:06d}_000000.png")
+        Image.fromarray(np.zeros((H, W, 3), np.uint8)).save(
+            scene / "rgb" / f"{fr:06d}.jpg")
+        cams[str(fr)] = {"cam_K": [FX, 0, CX, 0, FY, CY, 0, 0, 1],
+                         "depth_scale": 1.0}
+        gts[str(fr)] = [{"obj_id": obj_id,
+                         "cam_R_m2c": np.asarray(R).ravel().tolist(),
+                         "cam_t_m2c": np.asarray(t_mm).tolist()}]
+        infos[str(fr)] = [{"visib_fract": 1.0}]
+    (scene / "scene_camera.json").write_text(json.dumps(cams))
+    (scene / "scene_gt.json").write_text(json.dumps(gts))
+    (scene / "scene_gt_info.json").write_text(json.dumps(infos))
+    return ds

@@ -18,6 +18,7 @@ uses (dpfm_orig.yaml).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.masking import masked_mean, masked_softmax
@@ -101,8 +102,10 @@ class OverlapPredictorNet(nn.Module):
         lin1 = nn.Dense(1, name="lin1")
 
         def head(f):  # shared weights across both shapes (Siamese head)
-            norm = f / jnp.maximum(
-                jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+            # eps inside the sqrt: padded rows are exactly zero and a
+            # bare norm would emit NaN gradients there
+            norm = f * jax.lax.rsqrt(
+                jnp.sum(f * f, axis=-1, keepdims=True) + 1e-12)
             h = lin1(nn.relu(lin0(norm)))
             return nn.sigmoid(h)[:, 0]
 

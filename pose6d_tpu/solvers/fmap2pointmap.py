@@ -1,0 +1,100 @@
+"""Functional map -> point-to-point correspondence solvers (on device).
+
+Equivalents of the reference's fmap2pointmap_solvers/ (naive.py:5-35,
+spacial_filtering.py:4-75), rebuilt fixed-shape and masked:
+
+* naive: argmin_i || (Phi_x C^T)_i - Phi_y_j || per PC point j.
+* spatial filtering: top-K=5 CAD candidates per PC point, then three
+  rounds of pairwise-distance spatial-consistency pruning at
+  {0.30, 0.15, 0.055 (fallback 0.065)} x diam(CAD). The reference
+  materializes a P x P distance matrix per round (P = 5*V2 ~ 10k,
+  ~400 MB); here each round streams column blocks through a lax.scan
+  so peak memory is P x block.
+
+Correspondences are returned as fixed-size index arrays plus a validity
+mask (never ragged), ready for the vectorized RANSAC/GNC pose stage.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import pairwise_sqdist
+from ..ops.masking import BIG, masked_argmin
+
+
+@jax.jit
+def naive_fmap2pointmap(C, evecs_x, evecs_y, x_valid, y_valid):
+    """p2p map: each PC point j -> nearest CAD point in aligned spectral
+    embedding (reference fmap2pointmap_solvers/naive.py:20-35).
+
+    Returns pairs (2, V2) int32 rows [cad_idx, pc_idx], valid (V2,).
+    """
+    emb_x = evecs_x @ C.T            # (V1, K)
+    d = pairwise_sqdist(emb_x, evecs_y)  # (V1, V2)
+    d = jnp.where(x_valid[:, None], d, BIG)
+    p2p = jnp.argmin(d, axis=0).astype(jnp.int32)  # (V2,)
+    pc_idx = jnp.arange(p2p.shape[0], dtype=jnp.int32)
+    return jnp.stack([p2p, pc_idx]), y_valid
+
+
+def _consistency_mean(coords_cad, coords_pc, row_valid, block: int = 1024):
+    """mean_i |d(cad_i,cad_j) - d(pc_i,pc_j)| over valid rows i, per pair j.
+
+    coords_* (P, 3) per-pair endpoint coordinates. Streams column blocks.
+    """
+    P = coords_cad.shape[0]
+    nblocks = P // block
+    rw = row_valid.astype(jnp.float32)[:, None]
+    denom = jnp.maximum(jnp.sum(rw), 1.0)
+
+    def body(_, j):
+        sl = jax.lax.dynamic_slice_in_dim
+        ca = sl(coords_cad, j * block, block, axis=0)
+        cb = sl(coords_pc, j * block, block, axis=0)
+        da = jnp.sqrt(pairwise_sqdist(coords_cad, ca))
+        db = jnp.sqrt(pairwise_sqdist(coords_pc, cb))
+        m = jnp.sum(jnp.abs(da - db) * rw, axis=0) / denom
+        return None, m
+
+    _, means = jax.lax.scan(body, None, jnp.arange(nblocks))
+    return means.reshape(P)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def spatial_filtering_fmap2pointmap(C, evecs_x, evecs_y, cad_xyz, pc_xyz,
+                                    x_valid, y_valid, diam_cad,
+                                    k: int = 5, block: int = 1024):
+    """Top-k spectral candidates + 3-stage distance-consistency pruning.
+
+    Returns pairs (2, V2*k) int32 rows [cad_idx, pc_idx], valid (V2*k,).
+    """
+    emb_x = evecs_x @ C.T
+    d = pairwise_sqdist(emb_x, evecs_y)            # (V1, V2)
+    d = jnp.where(x_valid[:, None], d, BIG)
+    d = jnp.where(y_valid[None, :], d, BIG)
+    # k smallest CAD candidates per PC point
+    _, topk = jax.lax.top_k(-d.T, k)               # (V2, k)
+    v2 = topk.shape[0]
+    cad_idx = topk.astype(jnp.int32).reshape(-1)   # (V2*k,), PC-major order
+    pc_idx = jnp.repeat(jnp.arange(v2, dtype=jnp.int32), k)
+    valid = jnp.repeat(y_valid, k)
+
+    ca = cad_xyz[cad_idx]                          # (P, 3)
+    cb = pc_xyz[pc_idx]
+
+    def prune(valid, tau):
+        m = _consistency_mean(ca, cb, valid, block)
+        return valid & (m < tau * diam_cad)
+
+    valid = prune(valid, 0.3)
+    valid = prune(valid, 0.15)
+    # final stage with fallback threshold (reference
+    # spacial_filtering.py:68-73)
+    m = _consistency_mean(ca, cb, valid, block)
+    keep_tight = valid & (m < 0.055 * diam_cad)
+    keep_loose = valid & (m < 0.065 * diam_cad)
+    valid = jnp.where(jnp.any(keep_tight), keep_tight, keep_loose)
+    return jnp.stack([cad_idx, pc_idx]), valid

@@ -1,0 +1,97 @@
+"""Evaluation metrics: inlier ratio, ADD, ADD-S, pose errors (on device).
+
+Mirrors the reference's metric vocabulary (utils/utils.py:81-105 and
+scripts/test_RANSAC.py:162-238): IR, ADD distance + <0.1d score, the
+HybridPose per-axis "add score xyz" variant, ADD-S via nearest-neighbor
+distances, angular error, translation error. ADD-S replaces the
+sklearn-KDTree host loop with a blocked argmin on device.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import pairwise_sqdist
+from ..ops.masking import BIG, masked_mean
+
+
+def inlier_ratio(pairs, pairs_valid, cad_xyz, align_pc, threshold):
+    """Fraction of predicted correspondences within `threshold` under GT
+    alignment (reference utils/utils.py:81-105). pairs (2, P)."""
+    a = cad_xyz[pairs[0]]
+    b = align_pc[pairs[1]]
+    d = jnp.linalg.norm(a - b, axis=-1)
+    return masked_mean((d < threshold).astype(jnp.float32),
+                       pairs_valid.astype(jnp.float32))
+
+
+def transform(pts, T):
+    return pts @ T[:3, :3].T + T[:3, 3]
+
+
+def add_distance(T_est, T_gt, pts, valid=None):
+    """Mean vertex displacement between the two poses (reference
+    test_RANSAC.py:162-173)."""
+    d = jnp.linalg.norm(transform(pts, T_est) - transform(pts, T_gt),
+                        axis=-1)
+    if valid is None:
+        return jnp.mean(d)
+    return masked_mean(d, valid.astype(jnp.float32))
+
+
+def add_score(T_est, T_gt, pts, diameter, valid=None, percentage=0.1):
+    e = add_distance(T_est, T_gt, pts, valid)
+    return e, (e < diameter * percentage).astype(jnp.float32)
+
+
+def add_score_xyz(T_est, T_gt, pts, diameter, valid=None, percentage=0.1):
+    """HybridPose per-axis variant (reference test_RANSAC.py:186-201):
+    each row of R treated separately, per-axis mean distances scored and
+    averaged."""
+    dR = T_gt[:3, :3] - T_est[:3, :3]          # (3, 3)
+    dt = T_gt[:3, 3] - T_est[:3, 3]            # (3,)
+    per_axis = jnp.abs(pts @ dR.T + dt)        # (N, 3)
+    if valid is None:
+        means = jnp.mean(per_axis, axis=0)
+    else:
+        means = masked_mean(per_axis, valid.astype(jnp.float32)[:, None],
+                            axis=0)
+    return jnp.mean((means < diameter * percentage).astype(jnp.float32))
+
+
+def adds_distance(T_est, T_gt, pts, valid=None, block: int = 1024):
+    """ADD-S: mean nearest-neighbor distance between the transformed
+    vertex sets (reference test_RANSAC.py:203-222, KDTree -> blocked
+    argmin)."""
+    a = transform(pts, T_est)
+    b = transform(pts, T_gt)
+    d2 = pairwise_sqdist(a, b)
+    if valid is not None:
+        d2 = jnp.where(valid[None, :], d2, BIG)
+    dmin = jnp.sqrt(jnp.min(d2, axis=1))
+    if valid is None:
+        return jnp.mean(dmin)
+    return masked_mean(dmin, valid.astype(jnp.float32))
+
+
+def adds_score(T_est, T_gt, pts, diameter, valid=None, percentage=0.1):
+    e = adds_distance(T_est, T_gt, pts, valid)
+    return e, (e < diameter * percentage).astype(jnp.float32)
+
+
+def angular_error_rad(R_gt, R_est):
+    """Geodesic rotation error (reference test_RANSAC.py:77-81)."""
+    c = (jnp.trace(R_gt.T @ R_est) - 1.0) / 2.0
+    return jnp.arccos(jnp.clip(c, -1.0, 1.0))
+
+
+def translation_error(t_gt, t_est):
+    return jnp.linalg.norm(t_gt - t_est)
+
+
+def rotation_error_logm_deg(R_gt, R_est):
+    """|| logm(R_est R_gt^T) / 2 ||_F in degrees — the reference's
+    compute_pose_error convention (test_RANSAC.py:224-238) via the
+    closed form ||logm(R)||_F = sqrt(2) * theta for rotations."""
+    theta = angular_error_rad(R_gt, R_est)
+    return jnp.degrees(jnp.sqrt(2.0) * theta / 2.0)

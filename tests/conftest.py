@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# This environment pins jax_platforms to "axon,cpu" (TPU plugin) at import,
+# overriding the JAX_PLATFORMS env var — force CPU explicitly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # This JAX build defaults matmuls to bf16 passes even on CPU; tests check
 # f32 numerics. Model code opts into bf16 explicitly where it wants it.

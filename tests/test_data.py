@@ -1,0 +1,153 @@
+import json
+
+import numpy as np
+import pytest
+
+from pose6d_tpu.data import read_ply, write_ply_mesh, write_ply_points
+from pose6d_tpu.data.decimate import decimate_mesh
+
+from bop_fixture import write_bop_scene
+
+
+@pytest.fixture(scope="module")
+def small_mesh():
+    m = read_ply("/root/reference/sample-data/lm/models_eval/obj_000001.ply")
+    # decimate for test speed
+    v, f = decimate_mesh(m["verts"], m["faces"], 2000)
+    return {"verts": v, "faces": f}
+
+
+@pytest.fixture(scope="module")
+def bop_root(tmp_path_factory, small_mesh):
+    root = tmp_path_factory.mktemp("bop")
+    rng = np.random.default_rng(0)
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_rotvec([0.3, -0.2, 0.5]).as_matrix()
+    t = np.array([20.0, -10.0, 600.0])  # mm
+    diam = float(np.linalg.norm(
+        small_mesh["verts"].max(0) - small_mesh["verts"].min(0)))
+    write_bop_scene(root, "synth", small_mesh, obj_id=7, R=R, t_mm=t,
+                    diameter_mm=diam)
+    return root, R, t, diam
+
+
+class TestPlyIO:
+    def test_roundtrip_mesh(self, tmp_path, small_mesh):
+        p = tmp_path / "m.ply"
+        write_ply_mesh(p, small_mesh["verts"], small_mesh["faces"])
+        m = read_ply(p)
+        np.testing.assert_allclose(m["verts"], small_mesh["verts"], rtol=1e-6)
+        assert (m["faces"] == small_mesh["faces"]).all()
+
+    def test_roundtrip_points(self, tmp_path):
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        col = rng.integers(0, 255, (100, 3)).astype(np.uint8)
+        p = tmp_path / "p.ply"
+        write_ply_points(p, pts, col)
+        m = read_ply(p)
+        np.testing.assert_allclose(m["verts"], pts, rtol=1e-6)
+        assert (m["colors"] == col).all()
+
+    def test_reads_reference_models(self):
+        m = read_ply("/root/reference/sample-data/lm/models/obj_000001.ply")
+        assert len(m["verts"]) == 5841
+        assert m["normals"] is not None
+
+
+class TestDecimate:
+    def test_reaches_target(self, small_mesh):
+        v, f = decimate_mesh(small_mesh["verts"], small_mesh["faces"], 500)
+        assert len(f) <= 500
+        assert f.min() >= 0 and f.max() < len(v)
+
+    def test_geometry_preserved(self):
+        m = read_ply("/root/reference/sample-data/lm/models/obj_000001.ply")
+        v, f = decimate_mesh(m["verts"], m["faces"], 4000)
+        from sklearn.neighbors import NearestNeighbors
+        nn = NearestNeighbors(n_neighbors=1).fit(m["verts"])
+        d, _ = nn.kneighbors(v)
+        diam = np.linalg.norm(m["verts"].max(0) - m["verts"].min(0))
+        assert d.mean() / diam < 0.01
+
+    def test_noop_below_target(self, small_mesh):
+        v, f = decimate_mesh(small_mesh["verts"], small_mesh["faces"],
+                             10 ** 6)
+        assert len(f) == len(small_mesh["faces"])
+
+
+class TestBOPDataset:
+    def test_scene_walk_and_load(self, bop_root):
+        root, R, t, diam = bop_root
+        from pose6d_tpu.data.bop import BOPSceneDataset
+        ds = BOPSceneDataset(root, "synth")
+        assert len(ds) == 1
+        frame = ds[0]
+        assert frame["depth"].shape == (480, 640)
+        assert frame["depth"].max() > 0
+        assert frame["scene_gt"][0]["obj_id"] == 7
+
+    def test_object_dataset_end_to_end(self, bop_root, tmp_path):
+        root, R, t, diam = bop_root
+        from pose6d_tpu.data.dataset import BOPObjectDataset
+        ds = BOPObjectDataset(root, "synth", cache_dir=tmp_path / "cache",
+                              target_faces=2000)
+        assert len(ds) == 1
+        cad, pc, obj = ds[0]
+        # CAD operator contract
+        assert cad["evecs"].shape[1] == 64
+        assert np.isfinite(cad["evecs"]).all()
+        # preprocessed cloud lies on the object surface (cm units):
+        # align_pc must sit close to CAD verts
+        from sklearn.neighbors import NearestNeighbors
+        nn = NearestNeighbors(n_neighbors=1).fit(cad["xyz"])
+        d, _ = nn.kneighbors(obj["align_pc"])
+        assert np.median(d) < 0.02 * diam * 0.1
+        # overlap masks consistent with pair list
+        P = obj["P"]
+        assert len(P) > 0
+        assert obj["overlap_12"].sum() > 0
+        assert obj["overlap_21"].sum() > 0.9 * len(obj["pcd_depth"])
+        # pose fields in cm
+        np.testing.assert_allclose(obj["t_m2c"], np.asarray(t) * 0.1,
+                                   rtol=1e-5)
+
+    def test_cache_hit_identical(self, bop_root, tmp_path):
+        root, *_ = bop_root
+        from pose6d_tpu.data.dataset import BOPObjectDataset
+        cache = tmp_path / "cache2"
+        ds = BOPObjectDataset(root, "synth", cache_dir=cache,
+                              target_faces=2000)
+        cad1, pc1, obj1 = ds[0]
+        ds2 = BOPObjectDataset(root, "synth", cache_dir=cache,
+                               target_faces=2000)
+        cad2, pc2, obj2 = ds2[0]
+        np.testing.assert_array_equal(obj1["pcd_depth"], obj2["pcd_depth"])
+        np.testing.assert_array_equal(cad1["evecs"], cad2["evecs"])
+        np.testing.assert_array_equal(pc1["evals"], pc2["evals"])
+
+
+class TestPipeline:
+    def test_make_sample_and_collate(self, bop_root, tmp_path):
+        root, R, t, diam = bop_root
+        from pose6d_tpu.data.dataset import BOPObjectDataset
+        from pose6d_tpu.data.pipeline import HostLoader, make_sample
+        ds = BOPObjectDataset(root, "synth", cache_dir=tmp_path / "c3",
+                              target_faces=2000)
+        cad, pc, obj = ds[0]
+        s = make_sample(cad, pc, obj)
+        assert s["cad"]["xyz"].shape == (5120, 3)
+        assert s["pc"]["evecs"].shape == (2048, 64)
+        assert s["cgt_A"].shape == (30, 30)
+        # C_gt from normal equations reproduces direct lstsq on pairs
+        P = np.asarray(obj["P"])
+        p2 = cad["evecs"][:, :30][P[:, 0]]
+        p1 = pc["evecs"][:, :30][P[:, 1]]
+        C_ref = np.linalg.lstsq(p1, p2, rcond=None)[0]
+        C_ne = np.linalg.solve(s["cgt_A"] + 1e-8 * np.eye(30), s["cgt_B"])
+        np.testing.assert_allclose(C_ne, C_ref, atol=1e-3)
+
+        loader = HostLoader(ds, batch_size=1, shuffle=False)
+        batch = next(iter(loader))
+        assert batch["cad"]["xyz"].shape == (1, 5120, 3)
+        assert batch["pairs"].shape == (1, 4096, 2)

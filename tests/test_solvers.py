@@ -1,0 +1,244 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pose6d_tpu.solvers import (gnc_tls_pose, icp_point2point,
+                                kabsch_umeyama, naive_fmap2pointmap,
+                                ransac_pose,
+                                spatial_filtering_fmap2pointmap)
+
+
+def random_rotation(rng):
+    A = rng.normal(size=(3, 3))
+    Q = np.linalg.qr(A)[0]
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    return Q
+
+
+def rot_angle_deg(Ra, Rb):
+    c = (np.trace(Ra.T @ Rb) - 1) / 2
+    return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+
+class TestKabsch:
+    def test_exact_recovery(self):
+        rng = np.random.default_rng(0)
+        R = random_rotation(rng)
+        t = rng.normal(size=3) * 10
+        src = rng.normal(size=(100, 3))
+        dst = src @ R.T + t
+        R2, t2 = kabsch_umeyama(jnp.asarray(src), jnp.asarray(dst))
+        assert rot_angle_deg(R, np.asarray(R2)) < 0.1
+        np.testing.assert_allclose(np.asarray(t2), t, atol=1e-4)
+
+    def test_weighted_ignores_outliers(self):
+        rng = np.random.default_rng(1)
+        R = random_rotation(rng)
+        t = rng.normal(size=3)
+        src = rng.normal(size=(60, 3))
+        dst = src @ R.T + t
+        dst[50:] += 100.0  # corrupted
+        w = np.ones(60); w[50:] = 0.0
+        R2, t2 = kabsch_umeyama(jnp.asarray(src), jnp.asarray(dst),
+                                jnp.asarray(w))
+        assert rot_angle_deg(R, np.asarray(R2)) < 0.1
+
+    def test_degenerate_no_nan(self):
+        src = jnp.zeros((10, 3))
+        dst = jnp.zeros((10, 3))
+        R, t = kabsch_umeyama(src, dst, jnp.zeros(10))
+        assert np.isfinite(np.asarray(R)).all()
+        assert abs(np.linalg.det(np.asarray(R)) - 1) < 1e-4
+
+    def test_matches_scipy_procrustes(self):
+        from scipy.spatial.transform import Rotation
+        rng = np.random.default_rng(2)
+        src = rng.normal(size=(40, 3))
+        dst = rng.normal(size=(40, 3))
+        R2, t2 = kabsch_umeyama(jnp.asarray(src), jnp.asarray(dst))
+        ref, _ = Rotation.align_vectors(dst - dst.mean(0), src - src.mean(0))
+        assert rot_angle_deg(ref.as_matrix(), np.asarray(R2)) < 0.1
+
+
+class TestRansac:
+    def test_recovers_pose_with_outliers(self):
+        rng = np.random.default_rng(0)
+        R = random_rotation(rng)
+        t = rng.normal(size=3) * 5
+        n = 512
+        src = rng.normal(size=(n, 3)).astype(np.float32) * 3
+        dst = (src @ R.T + t).astype(np.float32)
+        dst += rng.normal(size=dst.shape).astype(np.float32) * 0.01
+        n_out = 300  # ~60% outliers
+        out_idx = rng.choice(n, n_out, replace=False)
+        dst[out_idx] = rng.normal(size=(n_out, 3)) * 8
+        res = ransac_pose(jax.random.PRNGKey(0), jnp.asarray(src),
+                          jnp.asarray(dst), jnp.ones(n, bool),
+                          threshold=0.05, n_hypotheses=2048)
+        assert bool(res["ok"])
+        assert rot_angle_deg(R, np.asarray(res["R"])) < 1.0
+        np.testing.assert_allclose(np.asarray(res["t"]), t, atol=0.05)
+        # inlier set should mostly match ground truth
+        inl = np.asarray(res["inliers"])
+        true_inl = np.ones(n, bool); true_inl[out_idx] = False
+        assert (inl == true_inl).mean() > 0.97
+
+    def test_respects_validity_mask(self):
+        rng = np.random.default_rng(1)
+        R = random_rotation(rng); t = rng.normal(size=3)
+        src = rng.normal(size=(256, 3)).astype(np.float32)
+        dst = (src @ R.T + t).astype(np.float32)
+        dst[128:] = 1e3  # garbage in padded region
+        valid = np.arange(256) < 128
+        res = ransac_pose(jax.random.PRNGKey(0), jnp.asarray(src),
+                          jnp.asarray(dst), jnp.asarray(valid),
+                          threshold=0.05, n_hypotheses=1024)
+        assert rot_angle_deg(R, np.asarray(res["R"])) < 0.5
+        assert not np.asarray(res["inliers"])[128:].any()
+
+
+class TestGNC:
+    def test_recovers_pose_with_outliers(self):
+        rng = np.random.default_rng(0)
+        R = random_rotation(rng)
+        t = rng.normal(size=3) * 5
+        n = 400
+        src = rng.normal(size=(n, 3)).astype(np.float32) * 3
+        dst = (src @ R.T + t).astype(np.float32)
+        dst += rng.normal(size=dst.shape).astype(np.float32) * 0.01
+        out_idx = rng.choice(n, 160, replace=False)  # 40% outliers
+        dst[out_idx] = rng.normal(size=(160, 3)) * 8
+        res = gnc_tls_pose(jnp.asarray(src), jnp.asarray(dst),
+                           jnp.ones(n, bool), noise_bound=0.05,
+                           key=jax.random.PRNGKey(0))
+        assert rot_angle_deg(R, np.asarray(res["R"])) < 1.0
+        np.testing.assert_allclose(np.asarray(res["t"]), t, atol=0.05)
+        inl = np.asarray(res["inliers"])
+        true_inl = np.ones(n, bool); true_inl[out_idx] = False
+        assert (inl == true_inl).mean() > 0.95
+
+    def test_clean_input_identity_weights(self):
+        rng = np.random.default_rng(2)
+        R = random_rotation(rng); t = rng.normal(size=3)
+        src = rng.normal(size=(100, 3)).astype(np.float32)
+        dst = (src @ R.T + t).astype(np.float32)
+        res = gnc_tls_pose(jnp.asarray(src), jnp.asarray(dst),
+                           jnp.ones(100, bool), noise_bound=0.05)
+        assert int(res["n_inliers"]) == 100
+        assert rot_angle_deg(R, np.asarray(res["R"])) < 0.1
+
+
+class TestICP:
+    def test_refines_perturbed_pose(self):
+        rng = np.random.default_rng(0)
+        R = random_rotation(rng); t = rng.normal(size=3) * 2
+        src = rng.normal(size=(500, 3)).astype(np.float32)
+        tgt = (src @ R.T + t).astype(np.float32)
+        # perturb init by ~5 degrees + 0.05 offset
+        from scipy.spatial.transform import Rotation
+        dR = Rotation.from_rotvec(np.array([0.05, -0.04, 0.06])).as_matrix()
+        R0 = (dR @ R).astype(np.float32)
+        t0 = (t + 0.05).astype(np.float32)
+        res = icp_point2point(jnp.asarray(src), jnp.ones(500, bool),
+                              jnp.asarray(tgt), jnp.ones(500, bool),
+                              jnp.asarray(R0), jnp.asarray(t0),
+                              max_corr_dist=0.5, max_iter=30)
+        assert rot_angle_deg(R, np.asarray(res["R"])) < 0.2
+        np.testing.assert_allclose(np.asarray(res["t"]), t, atol=0.01)
+        assert float(res["rmse"]) < 0.01
+
+    def test_masked_targets(self):
+        rng = np.random.default_rng(1)
+        src = rng.normal(size=(200, 3)).astype(np.float32)
+        tgt = np.concatenate([src, np.full((56, 3), 1e3, np.float32)])
+        tv = np.arange(256) < 200
+        res = icp_point2point(jnp.asarray(src), jnp.ones(200, bool),
+                              jnp.asarray(tgt), jnp.asarray(tv),
+                              jnp.eye(3), jnp.zeros(3),
+                              max_corr_dist=0.5, max_iter=5)
+        assert rot_angle_deg(np.eye(3), np.asarray(res["R"])) < 1e-3
+
+
+def make_fmap_problem(rng, v1=300, v2=150, k=30):
+    """Shape-x with a known partial correspondence to shape-y via an
+    orthonormal-aligned eigenbasis pair."""
+    evecs_x = np.linalg.qr(rng.normal(size=(v1, k)))[0].astype(np.float32)
+    perm = rng.permutation(v1)[:v2]  # each PC point j corresponds to CAD perm[j]
+    evecs_y = evecs_x[perm] + rng.normal(size=(v2, k)).astype(np.float32) * 1e-3
+    C = np.eye(k, dtype=np.float32)  # aligned bases -> identity map
+    return evecs_x, evecs_y, C, perm
+
+
+class TestFmap2Pointmap:
+    def test_naive_recovers_correspondence(self):
+        rng = np.random.default_rng(0)
+        ex, ey, C, perm = make_fmap_problem(rng)
+        pairs, valid = naive_fmap2pointmap(
+            jnp.asarray(C), jnp.asarray(ex), jnp.asarray(ey),
+            jnp.ones(300, bool), jnp.ones(150, bool))
+        pairs = np.asarray(pairs)
+        assert (pairs[0] == perm).mean() > 0.95
+        assert (pairs[1] == np.arange(150)).all()
+
+    def test_naive_respects_x_mask(self):
+        rng = np.random.default_rng(1)
+        ex, ey, C, perm = make_fmap_problem(rng)
+        x_valid = np.ones(300, bool)
+        x_valid[perm[0]] = False  # knock out the right answer for j=0
+        pairs, _ = naive_fmap2pointmap(
+            jnp.asarray(C), jnp.asarray(ex), jnp.asarray(ey),
+            jnp.asarray(x_valid), jnp.ones(150, bool))
+        assert np.asarray(pairs)[0, 0] != perm[0]
+
+    def test_spatial_filtering_prunes_geometric_outliers(self):
+        rng = np.random.default_rng(2)
+        v1, v2, k = 256, 128, 30
+        cad = rng.normal(size=(v1, 3)).astype(np.float32) * 2
+        perm = rng.permutation(v1)[:v2]
+        R = random_rotation(rng); t = rng.normal(size=3)
+        pc = (cad[perm] @ R.T + t).astype(np.float32)
+        evecs_x = np.linalg.qr(rng.normal(size=(v1, k)))[0].astype(np.float32)
+        evecs_y = evecs_x[perm].copy()
+        # corrupt the spectral embedding of 1/4 of PC points so their
+        # top-1 spectral match is wrong but geometry exposes them
+        bad = rng.choice(v2, v2 // 4, replace=False)
+        evecs_y[bad] = np.linalg.qr(rng.normal(size=(v1, k)))[0][:len(bad)]
+        diam = float(np.linalg.norm(cad.max(0) - cad.min(0)))
+        pairs, valid = spatial_filtering_fmap2pointmap(
+            jnp.eye(k), jnp.asarray(evecs_x), jnp.asarray(evecs_y),
+            jnp.asarray(cad), jnp.asarray(pc),
+            jnp.ones(v1, bool), jnp.ones(v2, bool), diam,
+            k=5, block=128)
+        pairs, valid = np.asarray(pairs), np.asarray(valid)
+        assert valid.sum() > 0
+        # surviving pairs must be geometrically consistent:
+        # || cad_i - R^-1 (pc_j - t) || small
+        pc_in_cad = (pc - t) @ R
+        d = np.linalg.norm(cad[pairs[0]] - pc_in_cad[pairs[1]], axis=1)
+        assert d[valid].mean() < 0.05 * diam
+        # good pairs should dominate the survivors
+        good_pair = np.isin(pairs[1], np.setdiff1d(np.arange(v2), bad))
+        assert (good_pair[valid]).mean() > 0.9
+
+    def test_spatial_filtering_end_to_end_with_ransac(self):
+        rng = np.random.default_rng(3)
+        v1, v2, k = 256, 128, 30
+        cad = rng.normal(size=(v1, 3)).astype(np.float32) * 2
+        perm = rng.permutation(v1)[:v2]
+        R = random_rotation(rng); t = rng.normal(size=3)
+        pc = (cad[perm] @ R.T + t).astype(np.float32)
+        evecs_x = np.linalg.qr(rng.normal(size=(v1, k)))[0].astype(np.float32)
+        evecs_y = evecs_x[perm].copy()
+        diam = float(np.linalg.norm(cad.max(0) - cad.min(0)))
+        pairs, valid = spatial_filtering_fmap2pointmap(
+            jnp.eye(k), jnp.asarray(evecs_x), jnp.asarray(evecs_y),
+            jnp.asarray(cad), jnp.asarray(pc),
+            jnp.ones(v1, bool), jnp.ones(v2, bool), diam, k=5, block=128)
+        src = jnp.asarray(cad)[pairs[0]]
+        dst = jnp.asarray(pc)[pairs[1]]
+        res = ransac_pose(jax.random.PRNGKey(0), src, dst, valid,
+                          threshold=0.05 * diam, n_hypotheses=1024)
+        assert rot_angle_deg(R, np.asarray(res["R"])) < 2.0
+        np.testing.assert_allclose(np.asarray(res["t"]), t, atol=0.1)

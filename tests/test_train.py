@@ -1,0 +1,202 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pose6d_tpu.models import DPFMConfig
+from pose6d_tpu.train import (DPFMLossConfig, dpfm_loss, make_train_step,
+                              make_optimizer, metrics)
+from pose6d_tpu.train.loss import (frobenius_loss, nce_softmax_loss,
+                                   weighted_bce, solve_c_gt)
+
+
+def make_batch(rng, B=2, vc=96, vp=48, k=64, n_pairs=64):
+    def shape(v, n_valid):
+        xyz = rng.normal(size=(B, v, 3)).astype(np.float32) * 5 + 110
+        mass = np.abs(rng.normal(size=(B, v))).astype(np.float32)
+        evecs = rng.normal(size=(B, v, k)).astype(np.float32) / np.sqrt(v)
+        evals = np.sort(np.abs(rng.normal(size=(B, k))), -1).astype(np.float32)
+        valid = np.tile(np.arange(v) < n_valid, (B, 1))
+        mass[~valid] = 0
+        evecs[~valid] = 0
+        return {"xyz": jnp.asarray(xyz), "mass": jnp.asarray(mass),
+                "evals": jnp.asarray(evals), "evecs": jnp.asarray(evecs),
+                "valid": jnp.asarray(valid)}
+
+    cad = shape(vc, vc - 10)
+    pc = shape(vp, vp - 6)
+    pairs = np.stack([rng.integers(0, vc - 10, (B, n_pairs)),
+                      rng.integers(0, vp - 6, (B, n_pairs))], -1)
+    pv = np.ones((B, n_pairs), bool)
+    pv[:, -5:] = False
+    A = rng.normal(size=(B, 30, 30)).astype(np.float32)
+    A = np.einsum("bij,bkj->bik", A, A) + 3 * np.eye(30, dtype=np.float32)
+    Bm = rng.normal(size=(B, 30, 30)).astype(np.float32)
+    o12 = (rng.random((B, vc)) > 0.5).astype(np.float32)
+    o21 = (rng.random((B, vp)) > 0.2).astype(np.float32)
+    return {
+        "cad": cad, "pc": pc,
+        "pairs": jnp.asarray(pairs, jnp.int32),
+        "pairs_valid": jnp.asarray(pv),
+        "cgt_A": jnp.asarray(A), "cgt_B": jnp.asarray(Bm),
+        "overlap12": jnp.asarray(o12), "overlap21": jnp.asarray(o21),
+        "align_pc": pc["xyz"],
+        "R_m2c": jnp.tile(jnp.eye(3), (B, 1, 1)),
+        "t_m2c": jnp.zeros((B, 3)),
+        "diam_cad": jnp.full((B,), 10.0),
+        "obj_id": jnp.ones((B,), jnp.int32),
+        "visib_fract": jnp.ones((B,)),
+    }
+
+
+class TestLosses:
+    def test_frobenius_clamp(self):
+        a = jnp.zeros((2, 30, 30))
+        b = jnp.full((2, 30, 30), 10.0)
+        out = frobenius_loss(a, b)
+        np.testing.assert_allclose(np.asarray(out), [1000.0, 1000.0])
+
+    def test_weighted_bce_matches_torch_formula(self):
+        import torch
+        rng = np.random.default_rng(0)
+        pred = rng.random(50).astype(np.float32) * 0.98 + 0.01
+        gt = (rng.random(50) > 0.7).astype(np.float32)
+        got = float(weighted_bce(jnp.asarray(pred), jnp.asarray(gt),
+                                 jnp.ones(50, bool)))
+        tp, tg = torch.tensor(pred), torch.tensor(gt)
+        bce = torch.nn.functional.binary_cross_entropy(tp, tg,
+                                                       reduction="none")
+        w_neg = tg.sum() / tg.numel()
+        w = torch.where(tg >= 0.5, 1 - w_neg, w_neg)
+        ref = float((w * bce).mean())
+        assert abs(got - ref) < 1e-5
+
+    def test_nce_perfect_features_low_loss(self):
+        rng = np.random.default_rng(0)
+        c = 32
+        f_shared = rng.normal(size=(40, c)).astype(np.float32)
+        feat1 = np.zeros((80, c), np.float32)
+        feat2 = np.zeros((60, c), np.float32)
+        pairs = np.stack([rng.permutation(80)[:40],
+                          rng.permutation(60)[:40]], -1)
+        feat1[pairs[:, 0]] = f_shared
+        feat2[pairs[:, 1]] = f_shared
+        key = jax.random.PRNGKey(0)
+        good = float(nce_softmax_loss(key, jnp.asarray(feat1),
+                                      jnp.asarray(feat2),
+                                      jnp.asarray(pairs, jnp.int32),
+                                      jnp.ones(40, bool), 0.07, 32))
+        bad = float(nce_softmax_loss(key, jnp.asarray(rng.normal(
+            size=(80, c)).astype(np.float32)), jnp.asarray(feat2),
+            jnp.asarray(pairs, jnp.int32), jnp.ones(40, bool), 0.07, 32))
+        assert good < 0.1 * bad
+
+    def test_solve_c_gt(self):
+        rng = np.random.default_rng(1)
+        A = rng.normal(size=(30, 30)).astype(np.float32)
+        A = A @ A.T + np.eye(30, dtype=np.float32)
+        B = rng.normal(size=(30, 30)).astype(np.float32)
+        C = np.asarray(solve_c_gt(jnp.asarray(A), jnp.asarray(B)))
+        np.testing.assert_allclose(A @ C, B, atol=1e-3)
+
+
+class TestTrainStep:
+    def test_loss_decreases_overfit(self):
+        rng = np.random.default_rng(0)
+        batch = make_batch(rng)
+        init_fn, step_fn, _ = make_train_step(
+            DPFMConfig(), DPFMLossConfig(nce_num_pairs=32),
+            optimizer=make_optimizer(lr=1e-3))
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        step = jax.jit(step_fn)
+        losses = []
+        for i in range(30):
+            state, logs = step(state, batch, jax.random.PRNGKey(42))
+            losses.append(float(logs["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.7
+
+    def test_grad_clip_active(self):
+        rng = np.random.default_rng(0)
+        batch = make_batch(rng)
+        init_fn, step_fn, _ = make_train_step(
+            DPFMConfig(), DPFMLossConfig(nce_num_pairs=32))
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        _, logs = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(logs["grad_norm"]))
+
+
+class TestMetrics:
+    def test_add_zero_for_same_pose(self):
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(100, 3)).astype(np.float32))
+        T = jnp.eye(4)
+        e, s = metrics.add_score(T, T, pts, 1.0)
+        assert float(e) == 0.0 and float(s) == 1.0
+
+    def test_adds_symmetry_invariance(self):
+        # rotating a ring about its symmetry axis: ADD large, ADD-S ~ 0
+        n = 200
+        theta = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        ring = np.stack([np.cos(theta), np.sin(theta),
+                         np.zeros(n)], 1).astype(np.float32)
+        ang = 2 * np.pi / n * 7.5
+        Rz = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+                      np.float32)
+        T1 = np.eye(4, dtype=np.float32)
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, :3] = Rz
+        add_e = metrics.add_distance(jnp.asarray(T2), jnp.asarray(T1),
+                                     jnp.asarray(ring))
+        adds_e = metrics.adds_distance(jnp.asarray(T2), jnp.asarray(T1),
+                                       jnp.asarray(ring))
+        assert float(add_e) > 10 * float(adds_e)
+
+    def test_angular_error(self):
+        from scipy.spatial.transform import Rotation
+        R1 = np.eye(3)
+        R2 = Rotation.from_rotvec([0, 0, 0.3]).as_matrix()
+        err = metrics.angular_error_rad(jnp.asarray(R1), jnp.asarray(R2))
+        assert abs(float(err) - 0.3) < 1e-5
+
+    def test_inlier_ratio(self):
+        cad = jnp.asarray(np.array([[0, 0, 0], [5, 5, 5], [9, 9, 9.]],
+                                   np.float32))
+        pc = jnp.asarray(np.array([[0.01, 0, 0], [8, 8, 8.]], np.float32))
+        pairs = jnp.asarray(np.array([[0, 0], [1, 1], [2, 1]]).T)
+        pv = jnp.asarray(np.array([True, True, False]))
+        ir = metrics.inlier_ratio(pairs, pv, cad, pc, 0.5)
+        assert abs(float(ir) - 0.5) < 1e-6
+
+
+class TestParallel:
+    def test_eight_device_mesh_matches_single(self):
+        from pose6d_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                         replicate, shard_batch)
+        assert jax.device_count() >= 8
+        import optax
+        rng = np.random.default_rng(0)
+        batch = make_batch(rng, B=8)
+        # SGD isolates gradient parity; RMSprop's 1/sqrt(nu) at step one
+        # amplifies numeric noise in near-zero gradients.
+        init_fn, step_fn, _ = make_train_step(
+            DPFMConfig(), DPFMLossConfig(nce_num_pairs=32),
+            optimizer=optax.sgd(1e-3))
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        key = jax.random.PRNGKey(7)
+
+        single = jax.jit(step_fn)
+        s1, logs1 = single(state, batch, key)
+
+        mesh = make_mesh(8)
+        pstep = make_parallel_train_step(step_fn, mesh)
+        state_r = replicate(state, mesh)
+        batch_s = shard_batch(batch, mesh)
+        s2, logs2 = pstep(state_r, batch_s, replicate(key, mesh))
+        np.testing.assert_allclose(float(logs1["loss"]),
+                                   float(logs2["loss"]), rtol=1e-4)
+        # params after one step must agree
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params)
+        assert max(jax.tree_util.tree_leaves(d)) < 1e-5
