@@ -71,9 +71,14 @@ class MultiHeadedAttention(nn.Module):
         q = q.reshape(-1, dim, self.num_heads)
         k = k.reshape(-1, dim, self.num_heads)
         v = v.reshape(-1, dim, self.num_heads)
-        scores = jnp.einsum("ndh,mdh->hnm", q, k) / (dim ** 0.5)
+        # The V1 x V2 score/value matmuls are the model's FLOPs hot spot;
+        # run them as native bf16 MXU passes with f32 accumulation.
+        bf = jnp.bfloat16
+        scores = jnp.einsum("ndh,mdh->hnm", q.astype(bf), k.astype(bf),
+                            preferred_element_type=jnp.float32) / (dim ** 0.5)
         prob = masked_softmax(scores, kv_valid[None, None, :], axis=-1)
-        out = jnp.einsum("hnm,mdh->ndh", prob, v)
+        out = jnp.einsum("hnm,mdh->ndh", prob.astype(bf), v.astype(bf),
+                         preferred_element_type=jnp.float32)
         out = out.reshape(-1, self.d_model)
         out = nn.Dense(self.d_model, name="merge")(out)
         return out * q_valid[:, None]

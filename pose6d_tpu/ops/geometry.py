@@ -94,15 +94,19 @@ def backproject_depth(depth, K, cam_scale, mask, max_points: int,
 # Pairwise distances
 # ---------------------------------------------------------------------------
 
-def pairwise_sqdist(a, b):
+def pairwise_sqdist(a, b, precision=jax.lax.Precision.HIGHEST):
     """Squared Euclidean distances, (N, 3) x (M, 3) -> (N, M).
 
     Uses the |a|^2 - 2ab + |b|^2 expansion so the 2ab term rides the MXU.
+    Default precision is full f32 (6-pass on the MXU); callers on hot
+    paths that tolerate ~1e-3 relative error (spectral embeddings,
+    consistency screening) pass Precision.HIGH (bf16x3) for ~2x MXU
+    throughput.
     """
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)
     cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
     return jnp.maximum(a2 - 2.0 * cross + b2.T, 0.0)
 
 

@@ -40,39 +40,45 @@ def naive_fmap2pointmap(C, evecs_x, evecs_y, x_valid, y_valid):
     return jnp.stack([p2p, pc_idx]), y_valid
 
 
-def _consistency_mean(coords_cad, coords_pc, row_valid, block: int = 1024):
+def _consistency_mean(coords_cad, coords_pc, row_valid,
+                      row_subsample: int = 0):
     """mean_i |d(cad_i,cad_j) - d(pc_i,pc_j)| over valid rows i, per pair j.
 
-    coords_* (P, 3) per-pair endpoint coordinates. Streams column blocks.
+    coords_* (P, 3) per-pair endpoint coordinates. With
+    row_subsample > 0, the mean runs over a strided row subset (spread
+    uniformly across the PC-major pair ordering) instead of all P rows —
+    an unbiased screening estimate at a fraction of the P^2 cost. The
+    reference materializes the full P x P matrix on GPU
+    (spacial_filtering.py:42-58).
     """
     P = coords_cad.shape[0]
-    nblocks = P // block
-    rw = row_valid.astype(jnp.float32)[:, None]
+    if row_subsample and row_subsample < P:
+        stride = P // row_subsample
+        idx = jnp.arange(row_subsample) * stride
+        rows_cad = coords_cad[idx]
+        rows_pc = coords_pc[idx]
+        rw = row_valid[idx].astype(jnp.float32)[:, None]
+    else:
+        rows_cad, rows_pc = coords_cad, coords_pc
+        rw = row_valid.astype(jnp.float32)[:, None]
     denom = jnp.maximum(jnp.sum(rw), 1.0)
-
-    def body(_, j):
-        sl = jax.lax.dynamic_slice_in_dim
-        ca = sl(coords_cad, j * block, block, axis=0)
-        cb = sl(coords_pc, j * block, block, axis=0)
-        da = jnp.sqrt(pairwise_sqdist(coords_cad, ca))
-        db = jnp.sqrt(pairwise_sqdist(coords_pc, cb))
-        m = jnp.sum(jnp.abs(da - db) * rw, axis=0) / denom
-        return None, m
-
-    _, means = jax.lax.scan(body, None, jnp.arange(nblocks))
-    return means.reshape(P)
+    hi = jax.lax.Precision.HIGH  # bf16x3 MXU passes; mean averages noise
+    da = jnp.sqrt(pairwise_sqdist(rows_cad, coords_cad, precision=hi))
+    db = jnp.sqrt(pairwise_sqdist(rows_pc, coords_pc, precision=hi))
+    return jnp.sum(jnp.abs(da - db) * rw, axis=0) / denom
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
+@functools.partial(jax.jit, static_argnames=("k", "row_subsample"))
 def spatial_filtering_fmap2pointmap(C, evecs_x, evecs_y, cad_xyz, pc_xyz,
                                     x_valid, y_valid, diam_cad,
-                                    k: int = 5, block: int = 1024):
+                                    k: int = 5, row_subsample: int = 2048):
     """Top-k spectral candidates + 3-stage distance-consistency pruning.
 
     Returns pairs (2, V2*k) int32 rows [cad_idx, pc_idx], valid (V2*k,).
     """
+    hi = jax.lax.Precision.HIGH
     emb_x = evecs_x @ C.T
-    d = pairwise_sqdist(emb_x, evecs_y)            # (V1, V2)
+    d = pairwise_sqdist(emb_x, evecs_y, precision=hi)  # (V1, V2)
     d = jnp.where(x_valid[:, None], d, BIG)
     d = jnp.where(y_valid[None, :], d, BIG)
     # k smallest CAD candidates per PC point
@@ -86,14 +92,14 @@ def spatial_filtering_fmap2pointmap(C, evecs_x, evecs_y, cad_xyz, pc_xyz,
     cb = pc_xyz[pc_idx]
 
     def prune(valid, tau):
-        m = _consistency_mean(ca, cb, valid, block)
+        m = _consistency_mean(ca, cb, valid, row_subsample)
         return valid & (m < tau * diam_cad)
 
     valid = prune(valid, 0.3)
     valid = prune(valid, 0.15)
     # final stage with fallback threshold (reference
     # spacial_filtering.py:68-73)
-    m = _consistency_mean(ca, cb, valid, block)
+    m = _consistency_mean(ca, cb, valid, row_subsample)
     keep_tight = valid & (m < 0.055 * diam_cad)
     keep_loose = valid & (m < 0.065 * diam_cad)
     valid = jnp.where(jnp.any(keep_tight), keep_tight, keep_loose)

@@ -37,8 +37,8 @@ def icp_point2point(src, src_valid, tgt, tgt_valid, R0, t0,
 
     def nn_pairs(R, t):
         moved = src @ R.T + t
-        # blocked argmin over target
-        d2 = pairwise_sqdist(moved, tgt)
+        # NN assignment tolerates bf16x3 distances (cm scale)
+        d2 = pairwise_sqdist(moved, tgt, precision=jax.lax.Precision.HIGH)
         d2 = jnp.where(tgt_valid[None, :], d2, BIG)
         j = jnp.argmin(d2, axis=1)
         dmin = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]

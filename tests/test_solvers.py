@@ -210,7 +210,7 @@ class TestFmap2Pointmap:
             jnp.eye(k), jnp.asarray(evecs_x), jnp.asarray(evecs_y),
             jnp.asarray(cad), jnp.asarray(pc),
             jnp.ones(v1, bool), jnp.ones(v2, bool), diam,
-            k=5, block=128)
+            k=5, row_subsample=0)
         pairs, valid = np.asarray(pairs), np.asarray(valid)
         assert valid.sum() > 0
         # surviving pairs must be geometrically consistent:
@@ -235,7 +235,7 @@ class TestFmap2Pointmap:
         pairs, valid = spatial_filtering_fmap2pointmap(
             jnp.eye(k), jnp.asarray(evecs_x), jnp.asarray(evecs_y),
             jnp.asarray(cad), jnp.asarray(pc),
-            jnp.ones(v1, bool), jnp.ones(v2, bool), diam, k=5, block=128)
+            jnp.ones(v1, bool), jnp.ones(v2, bool), diam, k=5, row_subsample=0)
         src = jnp.asarray(cad)[pairs[0]]
         dst = jnp.asarray(pc)[pairs[1]]
         res = ransac_pose(jax.random.PRNGKey(0), src, dst, valid,
