@@ -1,0 +1,33 @@
+"""Correspondence evaluation CLI (reference scripts/eval.py).
+
+    python -m pose6d_tpu.cli.eval --config config/lm.yaml \
+        --weights weights.pt_or_params.msgpack
+"""
+from __future__ import annotations
+
+from ._common import base_parser, load
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--weights", required=True)
+    args = p.parse_args()
+    cfg = load(args)
+    import jax
+
+    from ..models import DPFMNet
+    from ..train.eval_loop import build_eval_dataset, evaluate
+    from ..train.loop import load_pretrained_params
+
+    ds = build_eval_dataset(cfg)
+    model = DPFMNet(cfg.model)
+    cad, pc, _ = ds[0]
+    from ..data.pipeline import make_sample
+    s = make_sample(cad, pc, _)
+    template = model.init(jax.random.PRNGKey(0), s["cad"], s["pc"])
+    params = load_pretrained_params(args.weights, template)
+    evaluate(cfg, params, dataset=ds)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,33 @@
+"""Pose estimation CLI (reference scripts/test_RANSAC.py /
+test_teaser.py):
+
+    python -m pose6d_tpu.cli.pose ransac <results_dir> <out_dir>
+    python -m pose6d_tpu.cli.pose gnc    <results_dir> <out_dir>
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("solver", choices=["ransac", "gnc"])
+    p.add_argument("results_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--icp-target", choices=["gt_cad", "pc"],
+                   default="gt_cad")
+    p.add_argument("--no-ply", action="store_true")
+    p.add_argument("--ransac-threshold", type=float, default=0.05)
+    p.add_argument("--gnc-noise-bound", type=float, default=0.05)
+    args = p.parse_args()
+    from .. import runtime
+    runtime.configure()
+    from ..train.pose_stage import run_pose_stage
+    run_pose_stage(args.results_dir, args.out_dir, solver=args.solver,
+                   ransac_threshold=args.ransac_threshold,
+                   gnc_noise_bound=args.gnc_noise_bound,
+                   icp_target=args.icp_target, write_ply=not args.no_ply)
+
+
+if __name__ == "__main__":
+    main()

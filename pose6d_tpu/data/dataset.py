@@ -33,6 +33,12 @@ from .ply import read_ply
 MAX_RAW_POINTS = 32768
 
 
+class SampleDropped(Exception):
+    """Raised when a sample fails preprocessing and is removed from the
+    mapping list (reference self-healing behavior,
+    dataset/object.py:247-251)."""
+
+
 class BOPObjectDataset:
     def __init__(self, data_root, render_data_name, mode: str = "train_pbr",
                  min_vis: float = 0.3, cache_dir=None, lbo_pc: bool = True,
@@ -212,6 +218,17 @@ class BOPObjectDataset:
         cad = self.cad_operators(obj_id)
         pc_ops = None
         if self.lbo_pc:
-            pc_ops = self.pc_operators(i, j, np.asarray(obj["pcd_depth"],
-                                                        np.float32))
+            try:
+                pc_ops = self.pc_operators(i, j, np.asarray(obj["pcd_depth"],
+                                                            np.float32))
+            except Exception as e:
+                # self-heal: drop the sample from the mapping list and
+                # persist, mirroring reference dataset/object.py:247-251
+                self.mapping_list = [m for m in self.mapping_list
+                                     if tuple(m) != (i, j)]
+                if self.cache_dir is not None:
+                    np.savez(self.cache_dir / "mapping_list.npz",
+                             mapping_list=np.asarray(self.mapping_list,
+                                                     np.int64))
+                raise SampleDropped(f"sample ({i},{j}): {e!r}") from e
         return cad, pc_ops, obj

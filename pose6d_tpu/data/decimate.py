@@ -44,16 +44,24 @@ def _vertex_cost(Q, v):
 
 
 def decimate_mesh(verts: np.ndarray, faces: np.ndarray,
-                  target_faces: int = 10000):
+                  target_faces: int = 10000, use_native: bool = True):
     """Collapse edges until the face count reaches target_faces.
 
     Returns (new_verts (V',3) float64, new_faces (F',3) int64).
+    Dispatches to the C++ implementation (pose6d_tpu/native) when
+    available; this Python path is the reference oracle and fallback.
     """
     verts = np.asarray(verts, np.float64).copy()
     faces = np.asarray(faces, np.int64)
     nf = len(faces)
     if nf <= target_faces:
         return verts, faces.copy()
+    if use_native:
+        try:
+            from ..native import decimate_qem
+            return decimate_qem(verts, faces, target_faces)
+        except Exception:
+            pass  # fall back to the Python implementation
 
     fq = _face_quadrics(verts, faces)
     nv = len(verts)

@@ -125,8 +125,16 @@ class HostLoader:
         stop = threading.Event()
 
         def sample_one(idx):
-            cad, pc, obj = self.dataset[int(idx)]
-            return make_sample(cad, pc, obj, rng=rng, **self.sample_kw)
+            from .dataset import SampleDropped
+            for attempt in range(8):
+                try:
+                    cad, pc, obj = self.dataset[int(idx)]
+                    return make_sample(cad, pc, obj, rng=rng,
+                                       **self.sample_kw)
+                except SampleDropped:
+                    # dataset self-healed; substitute a neighboring sample
+                    idx = (int(idx) + 1) % max(len(self.dataset), 1)
+            raise RuntimeError("too many dropped samples in a row")
 
         def producer():
             try:

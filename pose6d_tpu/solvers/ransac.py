@@ -40,6 +40,7 @@ def ransac_pose(key, src, dst, valid, threshold: float = 0.05,
     """
     n = src.shape[0]
     f32 = jnp.float32
+    hyp_block = min(hyp_block, n_hypotheses)
     logits = jnp.where(valid, 0.0, -jnp.inf)
     # (H, S) correspondence indices sampled uniformly over valid pairs
     samples = jax.random.categorical(

@@ -1,0 +1,141 @@
+"""Full training loop (equivalent of reference scripts/train.py:49-137).
+
+Epoch loop with step-decay LR, grad clip, per-step scalar logging,
+per-epoch means, optional per-step inlier-ratio metric, checkpointing
+every checkpoint_interval epochs (full TrainState — resumable, unlike
+the reference's weights-only dumps), and optional pretrained init from
+either the reference's torch weights.pt or a native params file.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..data.dataset import BOPObjectDataset
+from ..data.pipeline import HostLoader
+from . import metrics as metrics_mod
+from .checkpoint import (latest_checkpoint, restore_checkpoint,
+                         save_checkpoint, save_params)
+from .logging import MetricsLogger
+from .train_step import make_optimizer, make_train_step
+
+
+class ConcatDataset:
+    """Multi-dataset concat (reference utils/utils.py:58-64)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx):
+        d = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return self.datasets[d][idx - int(self._offsets[d])]
+
+
+def build_train_dataset(cfg):
+    ds = [BOPObjectDataset(
+        cfg.data_root, d.render_data_name, mode=d.mode, min_vis=d.min_vis,
+        cache_dir=cfg.cache_dir, lbo_pc=d.lbo_pc, obj_take=d.obj_take,
+        num_samples=d.num_samples, models_dir=d.models_dir,
+        target_faces=cfg.target_faces)
+        for d in cfg.train_datasets]
+    return ds[0] if len(ds) == 1 else ConcatDataset(ds)
+
+
+def load_pretrained_params(path: str, template):
+    if str(path).endswith(".pt"):
+        from ..models.port_weights import load_reference_checkpoint
+        return load_reference_checkpoint(path)
+    from .checkpoint import load_params
+    return load_params(path, template)
+
+
+def train(cfg, dataset=None, max_steps: int | None = None,
+          sample_kw: dict | None = None):
+    """Run training per config; returns the final TrainState.
+
+    sample_kw forwards to data.pipeline.make_sample (e.g. smaller
+    v_cad/v_pc padding for tests).
+    """
+    tcfg = cfg.train
+    dataset = dataset if dataset is not None else build_train_dataset(cfg)
+    kw = {"v_cad": cfg.pad_v_cad, "v_pc": cfg.pad_v_pc}
+    kw.update(sample_kw or {})
+    loader = HostLoader(dataset, tcfg.batch_size, shuffle=True,
+                        seed=tcfg.seed, num_threads=tcfg.num_threads, **kw)
+    steps_per_epoch = max(len(loader), 1)
+    optimizer = make_optimizer(
+        lr=tcfg.lr, decay_factor=tcfg.decay_factor,
+        decay_every_steps=tcfg.decay_iter * steps_per_epoch,
+        clip_norm=tcfg.grad_clip)
+    init_fn, step_fn, fwd_batch = make_train_step(cfg.model, cfg.loss,
+                                                  optimizer)
+    example = next(iter(loader))
+    key = jax.random.PRNGKey(tcfg.seed)
+    # Initialize parameters on host CPU: init is tiny (24k params) and
+    # running the traced init program on the accelerator is wasted
+    # compile time (and exercises a flaky execution path on tunneled
+    # single-chip setups); the step program is what belongs on device.
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            state = init_fn(key, jax.device_put(example, cpu))
+        state = jax.device_put(state, jax.devices()[0])
+    except RuntimeError:
+        state = init_fn(key, example)
+    if tcfg.pretrained and str(tcfg.pretrained).lower() != "none":
+        params = load_pretrained_params(tcfg.pretrained, state.params)
+        state = state._replace(params=params)
+
+    logger = MetricsLogger(cfg.logging_dir, cfg.comment)
+    ckpt_dir = logger.dir / "ckpt"
+    latest = latest_checkpoint(ckpt_dir)
+    if latest is not None:
+        state = restore_checkpoint(latest, state)
+
+    step = jax.jit(step_fn)
+    solver = None
+    if tcfg.log_ir:
+        from ..solvers import naive_fmap2pointmap
+        solver = jax.jit(jax.vmap(naive_fmap2pointmap))
+
+    global_step = int(state.step)
+    for epoch in range(1, tcfg.epochs + 1):
+        epoch_logs = []
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            state, logs = step(state, batch, sub)
+            logs = {k: float(v) for k, v in logs.items()}
+            if solver is not None:
+                out = fwd_batch(state.params, batch)
+                pairs, pvalid = solver(
+                    out["C"], batch["cad"]["evecs"][:, :, :cfg.model.n_fmap],
+                    batch["pc"]["evecs"][:, :, :cfg.model.n_fmap],
+                    batch["cad"]["valid"], batch["pc"]["valid"])
+                ir = jax.vmap(metrics_mod.inlier_ratio)(
+                    pairs, pvalid, batch["cad"]["xyz"], batch["align_pc"],
+                    0.1 * batch["diam_cad"])
+                logs["IR"] = float(np.mean(np.asarray(ir)))
+            logger.log(logs, step=global_step)
+            epoch_logs.append(logs)
+            global_step += 1
+            if global_step % tcfg.log_interval == 0:
+                print(f"epoch {epoch} step {global_step} "
+                      f"loss {logs['loss']:.4f}")
+            if max_steps is not None and global_step >= max_steps:
+                break
+        logger.log_epoch(epoch_logs, epoch)
+        if epoch % tcfg.checkpoint_interval == 0:
+            save_checkpoint(ckpt_dir, state, global_step)
+            save_params(logger.dir / "params_latest.msgpack", state.params)
+        if max_steps is not None and global_step >= max_steps:
+            break
+    save_checkpoint(ckpt_dir, state, global_step)
+    save_params(logger.dir / "params_latest.msgpack", state.params)
+    logger.close()
+    return state

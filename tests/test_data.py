@@ -151,3 +151,26 @@ class TestPipeline:
         batch = next(iter(loader))
         assert batch["cad"]["xyz"].shape == (1, 5120, 3)
         assert batch["pairs"].shape == (1, 4096, 2)
+
+
+class TestNativeDecimate:
+    def test_native_matches_python_quality(self):
+        from pose6d_tpu.native import available, decimate_qem
+        if not available():
+            pytest.skip("no native build")
+        m = read_ply("/root/reference/sample-data/lm/models/obj_000001.ply")
+        vn, fn = decimate_qem(m["verts"], m["faces"], 4000)
+        vp, fp = decimate_mesh(m["verts"], m["faces"], 4000,
+                               use_native=False)
+        assert len(fn) <= 4000 and len(fp) <= 4000
+        assert fn.min() >= 0 and fn.max() < len(vn)
+        from sklearn.neighbors import NearestNeighbors
+        diam = np.linalg.norm(m["verts"].max(0) - m["verts"].min(0))
+        for v in (vn, vp):
+            nn = NearestNeighbors(n_neighbors=1).fit(m["verts"])
+            d, _ = nn.kneighbors(v)
+            assert d.mean() / diam < 0.01
+        # same geometric fidelity between implementations
+        nn = NearestNeighbors(n_neighbors=1).fit(vp)
+        d, _ = nn.kneighbors(vn)
+        assert d.mean() / diam < 0.01
