@@ -28,6 +28,7 @@ class DatasetConfig:
     obj_take: tuple = ()
     lbo_pc: bool = True
     models_dir: str = "models"
+    pc_lbo_backend: str = "host"
 
 
 @dataclasses.dataclass

@@ -44,7 +44,13 @@ class BOPObjectDataset:
                  min_vis: float = 0.3, cache_dir=None, lbo_pc: bool = True,
                  obj_take=(), num_samples: int = -1, k_eig: int = 64,
                  max_pc: int = 2000, target_faces: int = 10000,
-                 models_dir: str = "models"):
+                 models_dir: str = "models",
+                 pc_lbo_backend: str = "host"):
+        """pc_lbo_backend: 'host' = scipy eigsh over the local-triangulation
+        Laplacian (reference protocol); 'device' = the jittable graph
+        Laplacian + LOBPCG (spectral/device_lbo.py) — use this when the
+        model will run in the online on-device mode so train and inference
+        see the same operator family."""
         self.scenes = BOPSceneDataset(data_root, render_data_name, mode,
                                       num_samples=num_samples,
                                       cache_dir=cache_dir)
@@ -57,6 +63,7 @@ class BOPObjectDataset:
         self.max_pc = max_pc
         self.target_faces = target_faces
         self.models_dir = models_dir
+        self.pc_lbo_backend = pc_lbo_backend
         self.cache_dir = None
         if cache_dir is not None:
             self.cache_dir = Path(cache_dir) / self.render_data_name / mode
@@ -156,16 +163,35 @@ class BOPObjectDataset:
         return out
 
     def pc_operators(self, i: int, j: int, pc: np.ndarray):
-        cache_file = (self.cache_dir / f"{i}_{j}_pc_LBO.npz"
+        suffix = "_dev" if self.pc_lbo_backend == "device" else ""
+        cache_file = (self.cache_dir / f"{i}_{j}_pc_LBO{suffix}.npz"
                       if self.cache_dir else None)
         if cache_file is not None and cache_file.exists():
             return dict(np.load(cache_file, allow_pickle=False))
-        from ..spectral import point_cloud_operators
-        so = point_cloud_operators(pc, k_eig=self.k_eig)
-        out = {
-            "xyz": so.xyz, "frames": so.frames, "mass": so.mass,
-            "evals": so.evals, "evecs": so.evecs,
-        }
+        if self.pc_lbo_backend == "device":
+            import jax.numpy as jnp
+            from ..spectral.device_lbo import device_pc_operators
+            v = len(pc)
+            vpad = 256 * ((self.max_pc + 255) // 256)  # one compile shape
+            pts = np.zeros((vpad, 3), np.float32)
+            pts[:v] = pc
+            valid = np.arange(vpad) < v
+            mass, evals, evecs = device_pc_operators(
+                jnp.asarray(pts), jnp.asarray(valid), k_eig=self.k_eig)
+            out = {
+                "xyz": pc.astype(np.float32),
+                "frames": np.zeros((v, 3, 3), np.float32),
+                "mass": np.asarray(mass)[:v],
+                "evals": np.asarray(evals),
+                "evecs": np.asarray(evecs)[:v],
+            }
+        else:
+            from ..spectral import point_cloud_operators
+            so = point_cloud_operators(pc, k_eig=self.k_eig)
+            out = {
+                "xyz": so.xyz, "frames": so.frames, "mass": so.mass,
+                "evals": so.evals, "evecs": so.evecs,
+            }
         if cache_file is not None:
             np.savez(cache_file, **out)
         return out

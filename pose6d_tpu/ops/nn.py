@@ -1,0 +1,67 @@
+"""Nearest-neighbor dispatch: Pallas TPU kernels with an XLA fallback.
+
+Single entry points for the framework's masked NN queries; on TPU the
+fused Pallas kernels (ops/pallas/cdist.py) avoid materializing the
+(N, M) distance matrix in HBM, elsewhere (CPU tests, interpret mode)
+the XLA expansion path runs. Feature dims are zero-padded to a lane
+multiple for the kernel (zero columns don't change distances).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import pairwise_sqdist
+from .masking import BIG
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _pad_features(x, mult: int = 8):
+    c = x.shape[-1]
+    pad = (-c) % mult
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x
+
+
+def nearest_valid(a, b, b_valid, use_pallas: bool | None = None):
+    """(d2_min (N,), idx (N,)): nearest valid b row per a row.
+
+    Default is the XLA path: at these shapes (<=5120 x 2048) XLA's fused
+    reduce beats the Pallas kernel on v5e, especially under scan/vmap
+    where it pipelines across iterations. The Pallas kernel remains for
+    larger point budgets where the (N, M) matrix would pressure HBM;
+    opt in with use_pallas=True."""
+    n = a.shape[0]
+    use = False if use_pallas is None else use_pallas
+    if use and n % 512 == 0:
+        from .pallas import masked_argmin_cdist
+        return masked_argmin_cdist(_pad_features(a), _pad_features(b),
+                                   b_valid)
+    d2 = pairwise_sqdist(a, b, precision=jax.lax.Precision.HIGH)
+    d2 = jnp.where(b_valid[None, :], d2, BIG)
+    return jnp.min(d2, axis=1), jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+
+def topk_valid(a, b, b_valid, k: int, use_pallas: bool | None = None):
+    """(d2 (N, k), idx (N, k)): k nearest valid b rows per a row.
+
+    Default is the XLA path: measured on v5e, XLA's fused sort beats the
+    k-pass Pallas argmin kernel for top-k (the Pallas kernel remains for
+    HBM-constrained shapes; pass use_pallas=True)."""
+    n = a.shape[0]
+    use = False if use_pallas is None else use_pallas
+    if use and n % 512 == 0:
+        from .pallas import masked_topk_cdist
+        return masked_topk_cdist(_pad_features(a), _pad_features(b),
+                                 b_valid, k=k)
+    d2 = pairwise_sqdist(a, b, precision=jax.lax.Precision.HIGH)
+    d2 = jnp.where(b_valid[None, :], d2, BIG)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return -neg, idx.astype(jnp.int32)

@@ -31,7 +31,7 @@ def _argmin_kernel(a_ref, b_ref, bmask_ref, dmin_ref, idx_ref):
     b2 = jnp.sum(b * b, axis=1, keepdims=True).T          # (1, M)
     cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
     d2 = jnp.maximum(a2 - 2.0 * cross + b2, 0.0)
-    d2 = d2 + bmask_ref[:].reshape(1, -1)                 # +BIG on invalid
+    d2 = d2 + bmask_ref[0, :].reshape(1, -1)              # +BIG on invalid
     dmin_ref[:, 0] = jnp.min(d2, axis=1)
     idx_ref[:, 0] = jnp.argmin(d2, axis=1).astype(jnp.int32)
 
@@ -47,7 +47,7 @@ def masked_argmin_cdist(a, b, b_valid, block_n: int = 512,
     n, c = a.shape
     m = b.shape[0]
     assert n % block_n == 0, (n, block_n)
-    bmask = jnp.where(b_valid, 0.0, BIG).astype(jnp.float32)
+    bmask = jnp.where(b_valid, 0.0, BIG).astype(jnp.float32)[None, :]
     dmin, idx = pl.pallas_call(
         _argmin_kernel,
         grid=(n // block_n,),
@@ -56,7 +56,8 @@ def masked_argmin_cdist(a, b, b_valid, block_n: int = 512,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m, c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((block_n, 1), lambda i: (i, 0),
@@ -81,7 +82,7 @@ def _topk_kernel_factory(k: int):
         b2 = jnp.sum(b * b, axis=1, keepdims=True).T
         cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
         d2 = jnp.maximum(a2 - 2.0 * cross + b2, 0.0)
-        d2 = d2 + bmask_ref[:].reshape(1, -1)
+        d2 = d2 + bmask_ref[0, :].reshape(1, -1)
         # top_k has no Mosaic lowering; take k successive masked argmins
         # (k is small and static).
         cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
@@ -104,7 +105,7 @@ def masked_topk_cdist(a, b, b_valid, k: int = 5, block_n: int = 512,
     n, c = a.shape
     m = b.shape[0]
     assert n % block_n == 0, (n, block_n)
-    bmask = jnp.where(b_valid, 0.0, BIG).astype(jnp.float32)
+    bmask = jnp.where(b_valid, 0.0, BIG).astype(jnp.float32)[None, :]
     dk, ik = pl.pallas_call(
         _topk_kernel_factory(k),
         grid=(n // block_n,),
@@ -113,7 +114,8 @@ def masked_topk_cdist(a, b, b_valid, k: int = 5, block_n: int = 512,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m, c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((block_n, k), lambda i: (i, 0),

@@ -32,10 +32,9 @@ def naive_fmap2pointmap(C, evecs_x, evecs_y, x_valid, y_valid):
 
     Returns pairs (2, V2) int32 rows [cad_idx, pc_idx], valid (V2,).
     """
+    from ..ops.nn import nearest_valid
     emb_x = evecs_x @ C.T            # (V1, K)
-    d = pairwise_sqdist(emb_x, evecs_y)  # (V1, V2)
-    d = jnp.where(x_valid[:, None], d, BIG)
-    p2p = jnp.argmin(d, axis=0).astype(jnp.int32)  # (V2,)
+    _, p2p = nearest_valid(evecs_y, emb_x, x_valid)
     pc_idx = jnp.arange(p2p.shape[0], dtype=jnp.int32)
     return jnp.stack([p2p, pc_idx]), y_valid
 
@@ -76,13 +75,10 @@ def spatial_filtering_fmap2pointmap(C, evecs_x, evecs_y, cad_xyz, pc_xyz,
 
     Returns pairs (2, V2*k) int32 rows [cad_idx, pc_idx], valid (V2*k,).
     """
-    hi = jax.lax.Precision.HIGH
+    from ..ops.nn import topk_valid
     emb_x = evecs_x @ C.T
-    d = pairwise_sqdist(emb_x, evecs_y, precision=hi)  # (V1, V2)
-    d = jnp.where(x_valid[:, None], d, BIG)
-    d = jnp.where(y_valid[None, :], d, BIG)
     # k smallest CAD candidates per PC point
-    _, topk = jax.lax.top_k(-d.T, k)               # (V2, k)
+    _, topk = topk_valid(evecs_y, emb_x, x_valid, k=k)  # (V2, k)
     v2 = topk.shape[0]
     cad_idx = topk.astype(jnp.int32).reshape(-1)   # (V2*k,), PC-major order
     pc_idx = jnp.repeat(jnp.arange(v2, dtype=jnp.int32), k)

@@ -36,12 +36,9 @@ def icp_point2point(src, src_valid, tgt, tgt_valid, R0, t0,
     n = src.shape[0]
 
     def nn_pairs(R, t):
+        from ..ops.nn import nearest_valid
         moved = src @ R.T + t
-        # NN assignment tolerates bf16x3 distances (cm scale)
-        d2 = pairwise_sqdist(moved, tgt, precision=jax.lax.Precision.HIGH)
-        d2 = jnp.where(tgt_valid[None, :], d2, BIG)
-        j = jnp.argmin(d2, axis=1)
-        dmin = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+        dmin, j = nearest_valid(moved, tgt, tgt_valid)
         w = (src_valid & (dmin < max_corr_dist ** 2)).astype(f32)
         return j, w, dmin
 

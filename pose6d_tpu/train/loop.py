@@ -42,7 +42,7 @@ def build_train_dataset(cfg):
         cfg.data_root, d.render_data_name, mode=d.mode, min_vis=d.min_vis,
         cache_dir=cfg.cache_dir, lbo_pc=d.lbo_pc, obj_take=d.obj_take,
         num_samples=d.num_samples, models_dir=d.models_dir,
-        target_faces=cfg.target_faces)
+        target_faces=cfg.target_faces, pc_lbo_backend=d.pc_lbo_backend)
         for d in cfg.train_datasets]
     return ds[0] if len(ds) == 1 else ConcatDataset(ds)
 
