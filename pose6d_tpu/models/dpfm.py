@@ -14,7 +14,6 @@ from __future__ import annotations
 import dataclasses
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from .attention import CrossAttentionRefinementNet
 from .diffusion_net import DiffusionNet

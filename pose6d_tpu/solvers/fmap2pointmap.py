@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.geometry import pairwise_sqdist
-from ..ops.masking import BIG, masked_argmin
+from ..ops.masking import BIG
 
 
 @jax.jit

@@ -16,8 +16,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.geometry import pairwise_sqdist
-from ..ops.masking import BIG
 from .kabsch import kabsch_umeyama
 
 

@@ -8,8 +8,6 @@ either the reference's torch weights.pt or a native params file.
 """
 from __future__ import annotations
 
-from pathlib import Path
-
 import jax
 import numpy as np
 
