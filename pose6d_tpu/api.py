@@ -49,8 +49,13 @@ class Predictor:
                  mode: str = "online", v_cad: int = V_CAD,
                  v_pc: int = V_PC, max_pc: int = 2000,
                  ransac_hypotheses: int = 4096, icp_iters: int = 30,
-                 lobpcg_iters: int = 80):
+                 lobpcg_iters: int = 80, disambiguate: bool = False):
+        """disambiguate: run the depth-consistency flip-disambiguation
+        stage (solvers/multistart.py) after ICP — an addition over the
+        reference that rescues symmetry-flipped poses when the depth
+        image disambiguates them."""
         assert mode in ("online", "cached")
+        self.disambiguate = disambiguate
         self.params = params
         self.cfg = cfg
         self.mode = mode
@@ -82,7 +87,8 @@ class Predictor:
         pc_valid = jnp.pad(sel_valid, (0, self.v_pc - self.max_pc))
         return pc, pc_valid
 
-    def _pose_from_cloud(self, cad, pc_xyz, pc_valid, diam, key):
+    def _pose_from_cloud(self, cad, pc_xyz, pc_valid, diam, key,
+                         K, obs_z, mask):
         if self.mode == "online":
             mass, evals, evecs = device_pc_operators(
                 pc_xyz, pc_valid, k_eig=self.cfg.k_eig,
@@ -91,7 +97,17 @@ class Predictor:
                   "evecs": evecs, "valid": pc_valid}
         else:
             raise ValueError("cached mode: use predict_with_operators")
-        return self._run_model_and_pose(cad, pc, diam, key)
+        out = self._run_model_and_pose(cad, pc, diam, key)
+        if self.disambiguate:
+            from .solvers import disambiguate_pose_depth
+            fix = disambiguate_pose_depth(
+                cad["xyz"], cad["valid"], pc["xyz"], pc["valid"],
+                out["R"], out["t"], diam, K, obs_z, mask)
+            out = dict(out)
+            out["R"] = fix["R"]
+            out["t"] = fix["t"]
+            out["flip_hypothesis"] = fix["hypothesis"]
+        return out
 
     def _run_model_and_pose(self, cad, pc, diam, key):
         out = self.model.apply(self.params, cad, pc)
@@ -121,6 +137,8 @@ class Predictor:
         obj_ids: matching CAD ids present in the cad_bank.
         """
         cam_scale = 1000.0 / depth_scale
+        # observed depth in pipeline units (cm) for pose verification
+        obs_z = jnp.asarray(depth, jnp.float32) * (100.0 / cam_scale)
         key = jax.random.PRNGKey(seed)
         results = []
         for mask, obj_id in zip(masks, obj_ids):
@@ -130,7 +148,9 @@ class Predictor:
             cad = self.cad_bank[int(obj_id)]
             key, sub = jax.random.split(key)
             out = self._jit_pose(cad, pc, pc_valid,
-                                 jnp.float32(self._diam[int(obj_id)]), sub)
+                                 jnp.float32(self._diam[int(obj_id)]), sub,
+                                 jnp.asarray(K, jnp.float32), obs_z,
+                                 jnp.asarray(mask))
             results.append({k: np.asarray(v) for k, v in out.items()})
         return results
 

@@ -5,3 +5,6 @@ from .ransac import ransac_pose  # noqa: F401
 from .icp import icp_point2point  # noqa: F401
 from .gnc import gnc_tls_pose  # noqa: F401
 from .registry import choose_fmap2pointmap_solver, choose_pose_solver  # noqa: F401
+from .multistart import disambiguate_pose, flip_hypotheses  # noqa: F401
+from .multistart import disambiguate_pose_depth  # noqa: F401
+from .verify_pose import depth_consistency_score  # noqa: F401
