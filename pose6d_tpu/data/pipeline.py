@@ -137,11 +137,14 @@ class HostLoader:
             raise RuntimeError("too many dropped samples in a row")
 
         def producer():
+            from concurrent.futures import ThreadPoolExecutor
             try:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    q.put(collate([sample_one(i) for i in idxs]))
+                with ThreadPoolExecutor(
+                        max_workers=self.num_threads) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        q.put(collate(list(pool.map(sample_one, idxs))))
             finally:
                 q.put(None)
 

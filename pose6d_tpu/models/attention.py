@@ -54,6 +54,7 @@ class ConvMLP(nn.Module):
 class MultiHeadedAttention(nn.Module):
     num_heads: int
     d_model: int
+    use_flash: bool = False  # Pallas flash-attention path (TPU)
 
     @nn.compact
     def __call__(self, query, key, value, q_valid, kv_valid):
@@ -71,14 +72,22 @@ class MultiHeadedAttention(nn.Module):
         q = q.reshape(-1, dim, self.num_heads)
         k = k.reshape(-1, dim, self.num_heads)
         v = v.reshape(-1, dim, self.num_heads)
-        # The V1 x V2 score/value matmuls are the model's FLOPs hot spot;
-        # run them as native bf16 MXU passes with f32 accumulation.
-        bf = jnp.bfloat16
-        scores = jnp.einsum("ndh,mdh->hnm", q.astype(bf), k.astype(bf),
-                            preferred_element_type=jnp.float32) / (dim ** 0.5)
-        prob = masked_softmax(scores, kv_valid[None, None, :], axis=-1)
-        out = jnp.einsum("hnm,mdh->ndh", prob.astype(bf), v.astype(bf),
-                         preferred_element_type=jnp.float32)
+        if (self.use_flash and jax.default_backend() == "tpu"
+                and q.shape[0] % 512 == 0 and k.shape[0] % 512 == 0):
+            # flash path: online softmax in VMEM, no (H, N, M) tensor in HBM
+            from ..ops.pallas.attention import flash_cross_attention
+            out = flash_cross_attention(q, k, v, q_valid, kv_valid,
+                                        self.num_heads, 1.0 / (dim ** 0.5))
+        else:
+            # XLA path: the V1 x V2 score/value matmuls are the FLOPs hot
+            # spot; run them as native bf16 MXU passes w/ f32 accumulation.
+            bf = jnp.bfloat16
+            scores = jnp.einsum("ndh,mdh->hnm", q.astype(bf), k.astype(bf),
+                                preferred_element_type=jnp.float32
+                                ) / (dim ** 0.5)
+            prob = masked_softmax(scores, kv_valid[None, None, :], axis=-1)
+            out = jnp.einsum("hnm,mdh->ndh", prob.astype(bf), v.astype(bf),
+                             preferred_element_type=jnp.float32)
         out = out.reshape(-1, self.d_model)
         out = nn.Dense(self.d_model, name="merge")(out)
         return out * q_valid[:, None]
@@ -87,10 +96,12 @@ class MultiHeadedAttention(nn.Module):
 class AttentionalPropagation(nn.Module):
     feature_dim: int
     num_heads: int
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, source, x_valid, src_valid):
         message = MultiHeadedAttention(self.num_heads, self.feature_dim,
+                                       use_flash=self.use_flash,
                                        name="attn")(x, source, source,
                                                     x_valid, src_valid)
         combined = jnp.concatenate([x, message], axis=-1)
@@ -125,6 +136,7 @@ class CrossAttentionRefinementNet(nn.Module):
     gnn_dim: int = 32
     n_layers: int = 1
     overlap_feat_dim: int = 32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, feat_x, feat_y, x_valid, y_valid):
@@ -134,6 +146,7 @@ class CrossAttentionRefinementNet(nn.Module):
         desc1 = first(feat_y)
         for li in range(self.n_layers):
             layer = AttentionalPropagation(self.gnn_dim, self.num_heads,
+                                           use_flash=self.use_flash,
                                            name=f"layer_{li}")
             # Sequential bidirectional update with a shared layer — desc1's
             # update sees the already-updated desc0 (reference

@@ -39,6 +39,8 @@ class DPFMConfig:
     # Input normalization (reference models/dpfm.py:53: (xyz-110)/50).
     norm_shift: float = 110.0
     norm_scale: float = 50.0
+    # Pallas flash-attention path for the refiner (TPU, shapes % 512)
+    use_flash: bool = False
 
     @classmethod
     def from_yaml_dict(cls, cfg: dict) -> "DPFMConfig":
@@ -84,6 +86,7 @@ class DPFMNet(nn.Module):
         ref1, ref2, overlap12, overlap21 = CrossAttentionRefinementNet(
             n_in=c.n_feat, num_heads=c.num_heads, gnn_dim=c.gnn_dim,
             n_layers=c.ref_n_layers, overlap_feat_dim=c.overlap_feat_dim,
+            use_flash=c.use_flash,
             name="feat_refiner")(feat1, feat2, cad["valid"], pc["valid"])
 
         use1, use2 = (ref1, ref2) if c.robust else (feat1, feat2)
