@@ -45,6 +45,7 @@ class TrainConfig:
     seed: int = 0
     pretrained: Optional[str] = None  # reference weights.pt or our ckpt
     log_ir: bool = False              # per-step inlier ratio (costly)
+    resume_dir: Optional[str] = None  # existing run dir to resume into
 
 
 @dataclasses.dataclass

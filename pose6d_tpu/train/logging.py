@@ -16,9 +16,13 @@ import numpy as np
 
 
 class MetricsLogger:
-    def __init__(self, log_dir, comment: str = ""):
-        stamp = datetime.now().strftime("%b%d_%H-%M-%S")
-        self.dir = Path(log_dir) / (stamp + ("_" + comment if comment else ""))
+    def __init__(self, log_dir, comment: str = "", run_dir=None):
+        if run_dir is not None:
+            self.dir = Path(run_dir)
+        else:
+            stamp = datetime.now().strftime("%b%d_%H-%M-%S")
+            self.dir = Path(log_dir) / (
+                stamp + ("_" + comment if comment else ""))
         self.dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.dir / "metrics.jsonl", "a")
         self._tb = None

@@ -90,7 +90,8 @@ def train(cfg, dataset=None, max_steps: int | None = None,
         params = load_pretrained_params(tcfg.pretrained, state.params)
         state = state._replace(params=params)
 
-    logger = MetricsLogger(cfg.logging_dir, cfg.comment)
+    logger = MetricsLogger(cfg.logging_dir, cfg.comment,
+                           run_dir=tcfg.resume_dir)
     ckpt_dir = logger.dir / "ckpt"
     latest = latest_checkpoint(ckpt_dir)
     if latest is not None:

@@ -80,3 +80,15 @@ class TestCheckpoint:
         for a, b in zip(jax.tree_util.tree_leaves(state.params),
                         jax.tree_util.tree_leaves(loaded)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestResumeDir:
+    def test_logger_reuses_run_dir(self, tmp_path):
+        from pose6d_tpu.train.logging import MetricsLogger
+        run = tmp_path / "myrun"
+        run.mkdir()
+        lg = MetricsLogger(tmp_path, run_dir=run)
+        assert lg.dir == run
+        lg.log({"a": 1.0})
+        lg.close()
+        assert (run / "metrics.jsonl").exists()
