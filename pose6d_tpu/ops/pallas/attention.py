@@ -26,7 +26,7 @@ import jax.numpy as jnp
 HEAD_DIM = 128  # kernel minimum lane width
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
+@functools.partial(jax.jit, static_argnames=("num_heads", "sm_scale"))
 def flash_cross_attention(q, k, v, q_valid, kv_valid, num_heads: int,
                           sm_scale: float):
     """q (N, dim, H), k/v (M, dim, H) in the refiner's (dim, heads)
@@ -36,7 +36,7 @@ def flash_cross_attention(q, k, v, q_valid, kv_valid, num_heads: int,
     production shapes 5120/2048 qualify).
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, SegmentIds, flash_attention)
+        BlockSizes, flash_attention)
     n, dim, h = q.shape
     m = k.shape[0]
 
@@ -46,8 +46,13 @@ def flash_cross_attention(q, k, v, q_valid, kv_valid, num_heads: int,
         return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, HEAD_DIM - dim)))
 
     qb, kb, vb = to_bhsd(q), to_bhsd(k), to_bhsd(v)
-    seg_q = q_valid.astype(jnp.int32)[None]
-    seg_kv = kv_valid.astype(jnp.int32)[None]
+    # kv masking folded into a spare padding channel: the kernel's
+    # segment_ids argument is non-differentiable (cannot be traced), so
+    # instead q gets 1 in channel `dim` and invalid keys get -BIG there —
+    # their scores become -inf before the online softmax, exactly a mask.
+    qb = qb.at[..., dim].set(1.0)
+    kb = kb.at[..., dim].set(
+        jnp.where(kv_valid, 0.0, -1e9 / sm_scale)[None, None, :])
     bs = BlockSizes(block_q=min(512, n), block_k_major=min(512, m),
                     block_k=min(512, m), block_b=1,
                     block_q_major_dkv=min(512, n),
@@ -55,9 +60,7 @@ def flash_cross_attention(q, k, v, q_valid, kv_valid, num_heads: int,
                     block_k_dkv=min(512, m), block_q_dkv=min(512, n),
                     block_k_major_dq=min(512, m), block_k_dq=min(512, m),
                     block_q_dq=min(512, n))
-    out = flash_attention(qb, kb, vb,
-                          segment_ids=SegmentIds(q=seg_q, kv=seg_kv),
-                          causal=False, sm_scale=sm_scale,
+    out = flash_attention(qb, kb, vb, causal=False, sm_scale=sm_scale,
                           block_sizes=bs)
     out = out[0, :, :, :dim]                  # (H, N, dim)
     return jnp.transpose(out, (1, 2, 0))      # (N, dim, H)
