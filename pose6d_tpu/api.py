@@ -48,7 +48,7 @@ class Predictor:
     def __init__(self, params, cad_bank: dict, cfg: DPFMConfig = DPFMConfig(),
                  mode: str = "online", v_cad: int = V_CAD,
                  v_pc: int = V_PC, max_pc: int = 2000,
-                 ransac_hypotheses: int = 4096, icp_iters: int = 30,
+                 ransac_hypotheses: int = 131072, icp_iters: int = 30,
                  lobpcg_iters: int = 80, disambiguate: bool = False):
         """disambiguate: run the depth-consistency flip-disambiguation
         stage (solvers/multistart.py) after ICP — an addition over the

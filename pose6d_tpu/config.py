@@ -53,7 +53,7 @@ class EvalConfig:
     solver: str = "spatial_filtering"  # choose_fmap2pointmap_solver
     pose_solver: str = "ransac"        # ransac | gnc
     ransac_threshold: float = 0.05
-    ransac_hypotheses: int = 8192
+    ransac_hypotheses: int = 131072
     gnc_noise_bound: float = 0.05
     icp_max_iter: int = 50
     icp_threshold: float = 0.2

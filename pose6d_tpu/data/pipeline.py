@@ -57,13 +57,23 @@ def make_sample(cad: dict, pc: dict, obj: dict, rng=None,
     pair_valid[:len(sub)] = True
 
     def shape_block(ops, v_max, n_valid):
-        return {
+        block = {
             "xyz": pad_to(ops["xyz"], v_max).astype(np.float32),
             "mass": pad_to(ops["mass"], v_max).astype(np.float32),
             "evals": np.asarray(ops["evals"], np.float32)[:K_EIG],
             "evecs": pad_to(ops["evecs"], v_max).astype(np.float32),
             "valid": np.arange(v_max) < n_valid,
         }
+        # optional gather-form tangent-gradient operators (gradient-
+        # feature DiffusionNet variant); zero-coefficient padding
+        if "grad_idx" in ops:
+            block["grad_idx"] = pad_to(
+                np.asarray(ops["grad_idx"]), v_max).astype(np.int32)
+            block["grad_cx"] = pad_to(
+                np.asarray(ops["grad_cx"]), v_max).astype(np.float32)
+            block["grad_cy"] = pad_to(
+                np.asarray(ops["grad_cy"]), v_max).astype(np.float32)
+        return block
 
     return {
         "cad": shape_block(cad, v_cad, nc),

@@ -10,10 +10,16 @@ subsampled-attention workaround (reference modeling/dpfm.py:100-118);
 for larger point budgets the Pallas blockwise kernel in
 ops/pallas/attention.py drops in.
 
-Only the attention_type="normal", cross_sampling_ratio=1.0 path exists:
-it is the only functional configuration of the reference (SURVEY §5,
-"half-broken subsampled-attention path") and the one its shipped config
-uses (dpfm_orig.yaml).
+All of the reference's attention configurations exist: the default
+attention_type="normal" / cross_sampling_ratio=1.0 path (the one its
+shipped config + weights use), attention_type="double" (reference
+modeling/dpfm.py:75-131: widened attention dim, last_lin emitting
+n_in + overlap_feat_dim, the overlap head fed from the extra split),
+and a *working* subsampled cross-attention path with nn_interpolate —
+the reference's ratio<1 branch dereferences an undefined variable
+(modeling/dpfm.py:107); here the sampled side attends, then PointNet++
+3-NN inverse-distance interpolation scatters features back to the full
+set with static shapes.
 """
 from __future__ import annotations
 
@@ -109,6 +115,19 @@ class AttentionalPropagation(nn.Module):
                        name="mlp")(combined, x_valid)
 
 
+def nn_interpolate(sampled_feats, dists, idx):
+    """PointNet++-style feature propagation (the working equivalent of
+    the reference's DPFM.dpfm.utils.nn_interpolate): features at S
+    sampled points -> all V points by inverse-distance-weighted 3-NN.
+
+    sampled_feats (S, C); dists (V, 3) distances to each point's 3
+    nearest sampled points; idx (V, 3) their indices into S.
+    """
+    w = 1.0 / jnp.maximum(dists, 1e-10)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    return jnp.einsum("vk,vkc->vc", w, sampled_feats[idx])
+
+
 class OverlapPredictorNet(nn.Module):
     overlap_feat_dim: int = 32
 
@@ -137,26 +156,66 @@ class CrossAttentionRefinementNet(nn.Module):
     n_layers: int = 1
     overlap_feat_dim: int = 32
     use_flash: bool = False
+    # "normal": attention at gnn_dim, overlap head on the refined feats.
+    # "double": attention at gnn_dim + overlap_feat_dim, last_lin emits
+    #           n_in + overlap_feat_dim, overlap head on the extra split
+    #           (reference modeling/dpfm.py:75-131).
+    attention_type: str = "normal"
+    # < 1.0: the x side attends on an FPS subsample and features are
+    # propagated back by nn_interpolate (fixes the reference's broken
+    # ratio<1 branch, modeling/dpfm.py:100-118).
+    cross_sampling_ratio: float = 1.0
 
     @nn.compact
-    def __call__(self, feat_x, feat_y, x_valid, y_valid):
-        """feat_x (V1, n_in), feat_y (V2, n_in) -> refined feats + overlaps."""
-        first = nn.Dense(self.gnn_dim, name="first_lin")
+    def __call__(self, feat_x, feat_y, x_valid, y_valid, x_samples=None):
+        """feat_x (V1, n_in), feat_y (V2, n_in) -> refined feats + overlaps.
+
+        x_samples: (idf (S,), idn (V1, 3), dists (V1, 3)) FPS subsample
+        of the x side + per-vertex 3 nearest sampled points; required iff
+        cross_sampling_ratio < 1.
+        """
+        if self.attention_type == "normal":
+            attn_dim = self.gnn_dim
+            out_dim = self.n_in
+        elif self.attention_type == "double":
+            attn_dim = self.gnn_dim + self.overlap_feat_dim
+            out_dim = self.n_in + self.overlap_feat_dim
+        else:
+            raise ValueError(self.attention_type)
+        first = nn.Dense(attn_dim, name="first_lin")
         desc0 = first(feat_x)
         desc1 = first(feat_y)
+        subsampled = self.cross_sampling_ratio < 1.0
+        if subsampled:
+            if x_samples is None:
+                raise ValueError("cross_sampling_ratio < 1 requires "
+                                 "x_samples (idf, idn, dists)")
+            idf, idn, dists = x_samples
+            s_valid = x_valid[idf]
         for li in range(self.n_layers):
-            layer = AttentionalPropagation(self.gnn_dim, self.num_heads,
+            layer = AttentionalPropagation(attn_dim, self.num_heads,
                                            use_flash=self.use_flash,
                                            name=f"layer_{li}")
             # Sequential bidirectional update with a shared layer — desc1's
             # update sees the already-updated desc0 (reference
             # modeling/dpfm.py:100-104).
-            desc0 = desc0 + layer(desc0, desc1, x_valid, y_valid)
-            desc1 = desc1 + layer(desc1, desc0, y_valid, x_valid)
-        last = nn.Dense(self.n_in, name="last_lin")
-        ref_x = last(desc0) * x_valid[:, None]
-        ref_y = last(desc1) * y_valid[:, None]
+            if subsampled:
+                s0 = desc0[idf]
+                s0 = s0 + layer(s0, desc1, s_valid, y_valid)
+                desc1 = desc1 + layer(desc1, s0, y_valid, s_valid)
+                desc0 = nn_interpolate(s0, dists, idn) * x_valid[:, None]
+            else:
+                desc0 = desc0 + layer(desc0, desc1, x_valid, y_valid)
+                desc1 = desc1 + layer(desc1, desc0, y_valid, x_valid)
+        last = nn.Dense(out_dim, name="last_lin")
+        aug_x = last(desc0) * x_valid[:, None]
+        aug_y = last(desc1) * y_valid[:, None]
+        ref_x, ref_y = aug_x[:, :self.n_in], aug_y[:, :self.n_in]
+        if self.attention_type == "double":
+            ov_x, ov_y = aug_x[:, self.n_in:], aug_y[:, self.n_in:]
+        else:
+            ov_x, ov_y = ref_x, ref_y
         overlap_x, overlap_y = OverlapPredictorNet(
-            self.overlap_feat_dim, name="overlap")(ref_x, ref_y,
+            self.overlap_feat_dim, name="overlap")(ov_x, ov_y,
                                                    x_valid, y_valid)
         return ref_x, ref_y, overlap_x, overlap_y

@@ -4,10 +4,16 @@ Architecture mirrors the effective surface of the reference's
 `DPFM.dpfm.diffusion_net.layers.DiffusionNet` as instantiated at
 reference models/dpfm.py:22-30 and confirmed against weights.pt
 (SURVEY §2.3): first_lin(C_in->width) -> N x [LearnedTimeDiffusion +
-MiniMLP(2*width -> width -> width) + skip] -> last_lin(width->C_out),
-with_gradient_features=False, spectral diffusion method.
+MiniMLP + skip] -> last_lin(width->C_out), spectral diffusion method.
 
-The spectral heat diffusion is three dense matmuls (MXU-friendly); no
+The reference exposes `with_gradient_features` / `with_gradient_rotations`
+(models/dpfm.py:28-29; it runs with features off). Both variants exist
+here. The reference's gradX/gradY are sparse (V, V) torch matrices; a
+dense (V, V) per-sample matmul would waste HBM on TPU, so gradients are
+carried in fixed-width gather form instead — (idx (V, Kn), cx/cy (V, Kn))
+per shape, the padded rows of the sparse operators — and each
+directional derivative is one vectorized gather + weighted sum on the
+VPU. Spectral heat diffusion is three dense matmuls (MXU-friendly); no
 sparse Laplacian is needed on device. Padded vertices are handled by
 zero mass + zero eigenvector rows; activations at padded rows are
 re-zeroed after each block so garbage cannot leak through the MLP skip
@@ -15,7 +21,7 @@ path.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -36,15 +42,53 @@ class MiniMLP(nn.Module):
         return x
 
 
-class DiffusionBlock(nn.Module):
+def apply_gather_gradient(coef, idx, x):
+    """One directional-derivative application: row i of the sparse
+    operator holds entries coef[i, :] at columns idx[i, :]."""
+    return jnp.einsum("vk,vkc->vc", coef, x[idx])
+
+
+class SpatialGradientFeatures(nn.Module):
+    """Tangent-gradient inner-product features (DiffusionNet, Sharp et
+    al. 2022): treat (d/dX, d/dY) as a complex field z, map it through a
+    learned per-channel linear A (complex when with_gradient_rotations —
+    rotation-aware pairing), emit tanh(Re(conj(z) * A z))."""
     width: int
+    with_gradient_rotations: bool = True
 
     @nn.compact
-    def __call__(self, x, mass, evals, evecs, valid):
+    def __call__(self, gx, gy):
+        dense = lambda n: nn.Dense(self.width, use_bias=False, name=n)  # noqa: E731
+        if self.with_gradient_rotations:
+            wre, wim = dense("A_re"), dense("A_im")
+            zr = wre(gx) - wim(gy)
+            zi = wim(gx) + wre(gy)
+        else:
+            w = dense("A")
+            zr, zi = w(gx), w(gy)
+        return nn.tanh(gx * zr + gy * zi)
+
+
+class DiffusionBlock(nn.Module):
+    width: int
+    with_gradient_features: bool = False
+    with_gradient_rotations: bool = True
+
+    @nn.compact
+    def __call__(self, x, mass, evals, evecs, valid, grad=None):
         time = self.param("diffusion_time", nn.initializers.zeros,
                           (self.width,))
         x_diffuse = heat_diffusion(x, time, mass, evals, evecs)
-        combined = jnp.concatenate([x, x_diffuse], axis=-1)
+        if self.with_gradient_features:
+            idx, cx, cy = grad
+            gx = apply_gather_gradient(cx, idx, x_diffuse)
+            gy = apply_gather_gradient(cy, idx, x_diffuse)
+            gfeat = SpatialGradientFeatures(
+                self.width, self.with_gradient_rotations,
+                name="gradient_features")(gx, gy)
+            combined = jnp.concatenate([x, x_diffuse, gfeat], axis=-1)
+        else:
+            combined = jnp.concatenate([x, x_diffuse], axis=-1)
         out = MiniMLP((self.width, self.width, self.width), name="mlp")(combined)
         out = out + x  # skip
         return out * valid[:, None]
@@ -55,17 +99,29 @@ class DiffusionNet(nn.Module):
     c_out: int = 32
     width: int = 64
     n_blocks: int = 2
+    with_gradient_features: bool = False
+    with_gradient_rotations: bool = True
 
     @nn.compact
-    def __call__(self, x, mass, evals, evecs, valid):
+    def __call__(self, x, mass, evals, evecs, valid,
+                 grad: Optional[tuple] = None):
         """x (V, c_in) vertex features; returns (V, c_out).
 
         mass (V,), evals (K,), evecs (V, K), valid (V,) bool.
+        grad: (idx (V, Kn) int, cx (V, Kn), cy (V, Kn)) gather-form
+        tangent-gradient operators; required iff with_gradient_features.
+        A shape without meaningful gradients (the reference nulls the PC
+        branch's at models/dpfm.py:51) passes zero coefficients.
         """
+        if self.with_gradient_features and grad is None:
+            raise ValueError("with_gradient_features=True requires grad "
+                             "operators (idx, cx, cy)")
         x = nn.Dense(self.width, name="first_lin")(x)
         x = x * valid[:, None]
         for b in range(self.n_blocks):
-            x = DiffusionBlock(self.width, name=f"block_{b}")(
-                x, mass, evals, evecs, valid)
+            x = DiffusionBlock(self.width, self.with_gradient_features,
+                               self.with_gradient_rotations,
+                               name=f"block_{b}")(
+                x, mass, evals, evecs, valid, grad)
         x = nn.Dense(self.c_out, name="last_lin")(x)
         return x * valid[:, None]

@@ -41,6 +41,15 @@ class DPFMConfig:
     norm_scale: float = 50.0
     # Pallas flash-attention path for the refiner (TPU, shapes % 512)
     use_flash: bool = False
+    # Model-variant switches matching the reference's config space:
+    # tangent-gradient features in DiffusionNet (models/dpfm.py:28-29;
+    # shapes must then carry gather-form grad_idx/grad_cx/grad_cy) and
+    # the refiner's attention_type / cross-attention subsampling
+    # (modeling/dpfm.py:71-118).
+    with_gradient_features: bool = False
+    with_gradient_rotations: bool = True
+    attention_type: str = "normal"
+    cross_sampling_ratio: float = 1.0
 
     @classmethod
     def from_yaml_dict(cls, cfg: dict) -> "DPFMConfig":
@@ -52,7 +61,9 @@ class DPFMConfig:
             resolvent_gamma=float(f["resolvant_gamma"]), robust=f["robust"],
             num_heads=a["num_head"], gnn_dim=a["gnn_dim"],
             ref_n_layers=a["ref_n_layers"],
-            overlap_feat_dim=o["overlap_feat_dim"])
+            overlap_feat_dim=o["overlap_feat_dim"],
+            attention_type=a.get("attention_type", "normal"),
+            cross_sampling_ratio=float(a.get("cross_sampling_ratio", 1.0)))
 
 
 class DPFMNet(nn.Module):
@@ -73,21 +84,40 @@ class DPFMNet(nn.Module):
         """
         c = self.cfg
         encoder = DiffusionNet(c_in=c.c_in, c_out=c.n_feat, width=c.width,
-                               n_blocks=c.n_blocks, name="feature_extractor")
+                               n_blocks=c.n_blocks,
+                               with_gradient_features=c.with_gradient_features,
+                               with_gradient_rotations=c.with_gradient_rotations,
+                               name="feature_extractor")
 
         def branch(shape):
             feats = (shape["xyz"] - c.norm_shift) / c.norm_scale
+            grad = None
+            if c.with_gradient_features:
+                grad = (shape["grad_idx"], shape["grad_cx"],
+                        shape["grad_cy"])
             return encoder(feats, shape["mass"], shape["evals"],
-                           shape["evecs"], shape["valid"])
+                           shape["evecs"], shape["valid"], grad)
 
         feat1 = branch(cad)
         feat2 = branch(pc)
 
+        x_samples = None
+        if c.cross_sampling_ratio < 1.0:
+            from ..ops.sampling import farthest_point_sample, knn
+            n_s = max(int(c.cross_sampling_ratio * feat1.shape[0]), 8)
+            idf, s_valid = farthest_point_sample(cad["xyz"], cad["valid"],
+                                                 n_s)
+            dists, idn = knn(cad["xyz"], cad["valid"], cad["xyz"][idf],
+                             s_valid, k=3)
+            x_samples = (idf, idn, dists)
+
         ref1, ref2, overlap12, overlap21 = CrossAttentionRefinementNet(
             n_in=c.n_feat, num_heads=c.num_heads, gnn_dim=c.gnn_dim,
             n_layers=c.ref_n_layers, overlap_feat_dim=c.overlap_feat_dim,
-            use_flash=c.use_flash,
-            name="feat_refiner")(feat1, feat2, cad["valid"], pc["valid"])
+            use_flash=c.use_flash, attention_type=c.attention_type,
+            cross_sampling_ratio=c.cross_sampling_ratio,
+            name="feat_refiner")(feat1, feat2, cad["valid"], pc["valid"],
+                                 x_samples)
 
         use1, use2 = (ref1, ref2) if c.robust else (feat1, feat2)
 

@@ -4,7 +4,7 @@ The reference delegates FPS to DPFM's torch utility (dataset/object.py:147)
 and kNN to dense torch cdist / sklearn trees. Here both are fixed-shape
 JAX ops: FPS is a lax.fori_loop maintaining the running min-distance field
 (O(S*N) on the VPU), kNN is a blocked top-k over the MXU-computed distance
-matrix. A Pallas FPS variant lives in ops/pallas/fps.py.
+matrix.
 """
 from __future__ import annotations
 

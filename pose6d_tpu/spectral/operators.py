@@ -69,6 +69,34 @@ def _build_gradients(points: np.ndarray, frames: np.ndarray,
     return gX, gY
 
 
+def gradients_to_gather(gX: sp.spmatrix, gY: sp.spmatrix,
+                        max_nnz: int = 32):
+    """Sparse (V, V) gradient operators -> fixed-width gather form for
+    the device model: (idx (V, max_nnz) int32, cx, cy (V, max_nnz) f32).
+
+    gradX/gradY share a sparsity pattern by construction
+    (_build_gradients). Rows wider than max_nnz keep their largest-|cx|
+    entries; padding gathers row i itself with zero coefficient.
+    """
+    gX = gX.tocsr()
+    gY = gY.tocsr()
+    V = gX.shape[0]
+    idx = np.tile(np.arange(V, dtype=np.int32)[:, None], (1, max_nnz))
+    cx = np.zeros((V, max_nnz), np.float32)
+    cy = np.zeros((V, max_nnz), np.float32)
+    for i in range(V):
+        cols = gX.indices[gX.indptr[i]:gX.indptr[i + 1]]
+        vx = gX.data[gX.indptr[i]:gX.indptr[i + 1]]
+        vy = np.asarray(gY[i, cols].todense()).ravel()
+        if len(cols) > max_nnz:
+            keep = np.argsort(-np.abs(vx))[:max_nnz]
+            cols, vx, vy = cols[keep], vx[keep], vy[keep]
+        idx[i, :len(cols)] = cols
+        cx[i, :len(cols)] = vx
+        cy[i, :len(cols)] = vy
+    return idx, cx, cy
+
+
 def mesh_operators(verts: np.ndarray, faces: np.ndarray, k_eig: int = 64,
                    normals: Optional[np.ndarray] = None,
                    build_gradients: bool = False) -> ShapeOperators:

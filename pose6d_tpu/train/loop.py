@@ -109,11 +109,11 @@ def train(cfg, dataset=None, max_steps: int | None = None,
         for batch in loader:
             key, sub = jax.random.split(key)
             state, logs = step(state, batch, sub)
+            C = logs.pop("_C")
             logs = {k: float(v) for k, v in logs.items()}
             if solver is not None:
-                out = fwd_batch(state.params, batch)
                 pairs, pvalid = solver(
-                    out["C"], batch["cad"]["evecs"][:, :, :cfg.model.n_fmap],
+                    C, batch["cad"]["evecs"][:, :, :cfg.model.n_fmap],
                     batch["pc"]["evecs"][:, :, :cfg.model.n_fmap],
                     batch["cad"]["valid"], batch["pc"]["valid"])
                 ir = jax.vmap(metrics_mod.inlier_ratio)(

@@ -79,6 +79,32 @@ def adds_score(T_est, T_gt, pts, diameter, valid=None, percentage=0.1):
     return e, (e < diameter * percentage).astype(jnp.float32)
 
 
+def adds_score_xyz(T_est, T_gt, pts, diameter, valid=None, percentage=0.1):
+    """Per-axis 1-D nearest-neighbor variant — the exact semantics of the
+    reference's committed 'Add-S Score' values: compute_adds_score
+    (test_RANSAC.py:203-222) iterates `for i in range(R.shape[0])` over
+    the three ROWS of R, so each axis is scored as an independent 1-D
+    KDTree problem and the three 0/1 scores are averaged (committed
+    results contain 1/3-step fractions). Kept for numerical parity with
+    results_on_pbr; `adds_score` above is the geometrically meaningful
+    symmetric metric."""
+    scores = []
+    for i in range(3):
+        a = pts @ T_est[:3, :3][i] + T_est[i, 3]   # (N,) per-axis coords
+        b = pts @ T_gt[:3, :3][i] + T_gt[i, 3]
+        if valid is not None:
+            b = jnp.where(valid, b, BIG)
+        bs = jnp.sort(b)
+        idx = jnp.clip(jnp.searchsorted(bs, a), 1, pts.shape[0] - 1)
+        d = jnp.minimum(jnp.abs(a - bs[idx]), jnp.abs(a - bs[idx - 1]))
+        if valid is None:
+            e = jnp.mean(d)
+        else:
+            e = masked_mean(d, valid.astype(jnp.float32))
+        scores.append((e < diameter * percentage).astype(jnp.float32))
+    return jnp.mean(jnp.stack(scores))
+
+
 def angular_error_rad(R_gt, R_est):
     """Geodesic rotation error (reference test_RANSAC.py:77-81)."""
     c = (jnp.trace(R_gt.T @ R_est) - 1.0) / 2.0

@@ -36,7 +36,7 @@ def _pose(R, t):
 
 def run_pose_stage(results_dir, out_dir, solver: str = "ransac",
                    ransac_threshold: float = 0.05,
-                   ransac_hypotheses: int = 8192,
+                   ransac_hypotheses: int = 131072,
                    gnc_noise_bound: float = 0.05,
                    icp_threshold: float = 0.2, icp_max_iter: int = 50,
                    icp_target: str = "gt_cad", write_ply: bool = True,

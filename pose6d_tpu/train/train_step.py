@@ -66,14 +66,19 @@ def make_train_step(model_cfg: DPFMConfig = DPFMConfig(),
 
     def loss_fn(params, batch, key):
         out = fwd_batch(params, batch)
-        return dpfm_loss(key, out, batch, loss_cfg)
+        loss, logs = dpfm_loss(key, out, batch, loss_cfg)
+        return loss, (logs, out["C"])
 
     def step_fn(state, batch, key):
-        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key)
+        (loss, (logs, C)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, key)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         logs["grad_norm"] = optax.global_norm(grads)
+        # the step's own forward's fmap, exposed so metrics (IR logging)
+        # reuse it instead of paying a second forward (reference
+        # train.py:109-116 computes IR from the same forward)
+        logs["_C"] = C
         return TrainState(params, opt_state, state.step + 1), logs
 
     return init_fn, step_fn, fwd_batch

@@ -1,0 +1,195 @@
+"""Config-space parity: the reference's model variants.
+
+The shipped reference config runs with_gradient_features=False and
+attention_type="normal" (models/dpfm.py:22-30, config/dpfm_orig.yaml),
+but its config space exposes gradient-feature DiffusionNet
+(models/dpfm.py:28-29), attention_type="double"
+(modeling/dpfm.py:75-131) and subsampled cross-attention with
+nn_interpolate (modeling/dpfm.py:100-118 — broken upstream at ratio<1,
+working here). These tests pin each variant's forward, masking, and
+numerics.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose6d_tpu.models import DPFMConfig, DPFMNet
+from pose6d_tpu.models.attention import nn_interpolate
+from pose6d_tpu.models.diffusion_net import DiffusionNet
+
+from tests.test_models import make_shape
+
+
+def add_toy_grads(shape, rng, kn=8):
+    """Attach random zero-row-sum gather-gradient ops to a shape dict."""
+    v = shape["xyz"].shape[0]
+    idx = rng.integers(0, v, size=(v, kn)).astype(np.int32)
+    idx[:, 0] = np.arange(v)
+    cx = rng.normal(size=(v, kn)).astype(np.float32) * 0.1
+    cy = rng.normal(size=(v, kn)).astype(np.float32) * 0.1
+    cx[:, 0] -= cx.sum(axis=1)  # rows sum to zero like a true gradient
+    cy[:, 0] -= cy.sum(axis=1)
+    valid = np.asarray(shape["valid"])
+    cx[~valid] = 0.0
+    cy[~valid] = 0.0
+    out = dict(shape)
+    out["grad_idx"] = jnp.asarray(idx)
+    out["grad_cx"] = jnp.asarray(cx)
+    out["grad_cy"] = jnp.asarray(cy)
+    return out
+
+
+class TestGradientFeatures:
+    def _model(self, **kw):
+        cfg = DPFMConfig(with_gradient_features=True, **kw)
+        return DPFMNet(cfg)
+
+    def test_forward_shapes_and_masking(self):
+        rng = np.random.default_rng(0)
+        cad = add_toy_grads(make_shape(rng, 256, 200), rng)
+        pc = add_toy_grads(make_shape(rng, 128, 100), rng)
+        model = self._model()
+        params = model.init(jax.random.PRNGKey(0), cad, pc)
+        out = model.apply(params, cad, pc)
+        assert out["C"].shape == (30, 30)
+        for v in jax.tree_util.tree_leaves(out):
+            assert np.isfinite(np.asarray(v)).all()
+        assert (np.asarray(out["ref_feat1"])[200:] == 0).all()
+
+    def test_gradient_params_exist_and_receive_grads(self):
+        rng = np.random.default_rng(1)
+        cad = add_toy_grads(make_shape(rng, 64, 64), rng)
+        pc = add_toy_grads(make_shape(rng, 32, 32), rng)
+        model = self._model()
+        params = model.init(jax.random.PRNGKey(0), cad, pc)
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        grad_params = [p for p, _ in flat
+                       if any("gradient_features" in str(k) for k in p)]
+        assert grad_params, "gradient-feature params missing"
+
+        def loss(p):
+            return jnp.sum(model.apply(p, cad, pc)["C"] ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = [(p, v) for p, v in
+                  jax.tree_util.tree_flatten_with_path(g)[0]
+                  if any("gradient_features" in str(k) for k in p)]
+        assert any(float(jnp.abs(v).max()) > 0 for _, v in leaves)
+
+    def test_rotations_toggle_changes_params(self):
+        rng = np.random.default_rng(2)
+        cad = add_toy_grads(make_shape(rng, 64, 64), rng)
+        pc = add_toy_grads(make_shape(rng, 32, 32), rng)
+        m_rot = self._model(with_gradient_rotations=True)
+        m_norot = self._model(with_gradient_rotations=False)
+        p_rot = m_rot.init(jax.random.PRNGKey(0), cad, pc)
+        p_norot = m_norot.init(jax.random.PRNGKey(0), cad, pc)
+        names_rot = {str(p) for p, _ in
+                     jax.tree_util.tree_flatten_with_path(p_rot)[0]}
+        names_norot = {str(p) for p, _ in
+                       jax.tree_util.tree_flatten_with_path(p_norot)[0]}
+        assert any("A_re" in n for n in names_rot)
+        assert any("'A'" in n for n in names_norot)
+
+    def test_gradient_of_linear_field_on_flat_grid(self):
+        """On a flat z=0 grid with the real operator builders, the
+        tangent gradient of f(x,y,z)=x must have magnitude ~1 at
+        interior vertices — validates _build_gradients +
+        gradients_to_gather + the device gather application end to end."""
+        from pose6d_tpu.spectral.operators import (gradients_to_gather,
+                                                   mesh_operators)
+        n = 12
+        xs, ys = np.meshgrid(np.arange(n, dtype=np.float64),
+                             np.arange(n, dtype=np.float64))
+        verts = np.stack([xs.ravel(), ys.ravel(),
+                          np.zeros(n * n)], axis=1)
+        faces = []
+        for r in range(n - 1):
+            for c in range(n - 1):
+                i = r * n + c
+                faces.append([i, i + 1, i + n])
+                faces.append([i + 1, i + n + 1, i + n])
+        ops = mesh_operators(verts, np.asarray(faces), k_eig=8,
+                             build_gradients=True)
+        idx, cx, cy = gradients_to_gather(ops.gradX, ops.gradY)
+        f = verts[:, :1].astype(np.float32)  # f = x
+        gx = np.einsum("vk,vkc->vc", cx, f[idx])[:, 0]
+        gy = np.einsum("vk,vkc->vc", cy, f[idx])[:, 0]
+        mag = np.sqrt(gx ** 2 + gy ** 2)
+        interior = ((verts[:, 0] > 0) & (verts[:, 0] < n - 1)
+                    & (verts[:, 1] > 0) & (verts[:, 1] < n - 1))
+        np.testing.assert_allclose(mag[interior], 1.0, atol=1e-3)
+
+
+class TestDoubleAttention:
+    def test_forward_and_split_dims(self):
+        rng = np.random.default_rng(0)
+        cad = make_shape(rng, 128, 100)
+        pc = make_shape(rng, 64, 50)
+        model = DPFMNet(DPFMConfig(attention_type="double"))
+        params = model.init(jax.random.PRNGKey(0), cad, pc)
+        out = model.apply(params, cad, pc)
+        assert out["ref_feat1"].shape == (128, 32)
+        assert out["overlap12"].shape == (128,)
+        o = np.asarray(out["overlap12"])
+        assert ((o >= 0) & (o <= 1)).all() and (o[100:] == 0).all()
+        # last_lin must emit n_in + overlap_feat_dim (reference
+        # modeling/dpfm.py:91: gnn_dim+add -> n_in+add)
+        last = params["params"]["feat_refiner"]["last_lin"]["kernel"]
+        cfg = DPFMConfig()
+        assert last.shape == (cfg.gnn_dim + cfg.overlap_feat_dim,
+                              cfg.n_feat + cfg.overlap_feat_dim)
+
+    def test_normal_param_tree_unchanged(self):
+        """Adding the variants must not disturb the checkpoint-parity
+        surface of the default configuration."""
+        rng = np.random.default_rng(1)
+        cad = make_shape(rng, 64, 64)
+        pc = make_shape(rng, 32, 32)
+        model = DPFMNet(DPFMConfig())
+        params = model.init(jax.random.PRNGKey(0), cad, pc)
+        last = params["params"]["feat_refiner"]["last_lin"]["kernel"]
+        assert last.shape == (32, 32)
+        names = {str(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(params)[0]}
+        assert not any("gradient_features" in n for n in names)
+
+
+class TestSubsampledCrossAttention:
+    def test_nn_interpolate_exact_at_samples(self):
+        rng = np.random.default_rng(0)
+        s_feats = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+        # vertex j's nearest sampled point is j%16 at distance ~0
+        idx = jnp.asarray((np.arange(64) % 16)[:, None].repeat(3, 1))
+        dists = jnp.asarray(
+            np.stack([np.full(64, 1e-12), np.full(64, 1.0),
+                      np.full(64, 2.0)], axis=1).astype(np.float32))
+        out = nn_interpolate(s_feats, dists, idx)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(s_feats)[np.arange(64) % 16],
+                                   rtol=1e-4)
+
+    def test_forward_with_subsampling(self):
+        rng = np.random.default_rng(2)
+        cad = make_shape(rng, 256, 200)
+        pc = make_shape(rng, 128, 100)
+        model = DPFMNet(DPFMConfig(cross_sampling_ratio=0.25))
+        params = model.init(jax.random.PRNGKey(0), cad, pc)
+        out = model.apply(params, cad, pc)
+        assert out["C"].shape == (30, 30)
+        for v in jax.tree_util.tree_leaves(out):
+            assert np.isfinite(np.asarray(v)).all()
+        assert (np.asarray(out["ref_feat1"])[200:] == 0).all()
+
+
+class TestGradientFeatureEncoderAlone:
+    def test_diffusion_net_requires_grads(self):
+        rng = np.random.default_rng(0)
+        s = make_shape(rng, 32, 32)
+        enc = DiffusionNet(with_gradient_features=True)
+        try:
+            enc.init(jax.random.PRNGKey(0), s["xyz"], s["mass"],
+                     s["evals"], s["evecs"], s["valid"])
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
