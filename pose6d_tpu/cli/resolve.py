@@ -49,7 +49,7 @@ def main():
             pairs, valid = spatial_filtering_fmap2pointmap(
                 C, ex, ey, jnp.asarray(pad_to(r["cad_xyz"], vc)),
                 jnp.asarray(pad_to(r["pcd_depth"], vp)), xv, yv,
-                float(r["diam_cad"]), row_subsample=2048)
+                float(r["diam_cad"]))
         ir = float(metrics.inlier_ratio(
             pairs, valid, jnp.asarray(pad_to(r["cad_xyz"], vc)),
             jnp.asarray(pad_to(r["align_pc"], vp)),

@@ -1,0 +1,92 @@
+"""Pallas TPU kernel: fused spatial-consistency sums.
+
+The exact spatial filter (solvers/fmap2pointmap.py, reference
+spacial_filtering.py:42-58) needs, per candidate pair j,
+
+    s_j = sum_i w_i * | ||cad_i - cad_j|| - ||pc_i - pc_j|| |
+
+over all P pairs i. The XLA path materializes two (P, P) distance
+matrices in HBM (P = V2*k = 10240 at production shapes -> 2 x 420 MB
+per pruning round, three rounds per solve). This kernel tiles both
+distance computations and the weighted reduction over (i, j) blocks so
+nothing bigger than a VMEM tile ever exists: reads are 2 x P x 3 coords
+per block row, writes are the (P,) sums.
+
+Grid (nj, ni), i innermost: the output block for column block j stays
+resident in VMEM while the i-blocks accumulate into it.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _consistency_kernel(car_ref, cbr_ref, w_ref, cac_ref, cbc_ref, out_ref):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ar = car_ref[:]                   # (BI, C) cad rows
+    br = cbr_ref[:]                   # (BI, C) pc rows
+    ac = cac_ref[:]                   # (BJ, C) cad cols
+    bc = cbc_ref[:]                   # (BJ, C) pc cols
+    w = w_ref[:]                      # (BI, 1) row weights
+
+    def sqd(x, y):
+        x2 = jnp.sum(x * x, axis=1, keepdims=True)
+        y2 = jnp.sum(y * y, axis=1, keepdims=True).T
+        cross = jnp.dot(x, y.T, preferred_element_type=jnp.float32)
+        return jnp.maximum(x2 - 2.0 * cross + y2, 0.0)
+
+    da = jnp.sqrt(sqd(ar, ac))
+    db = jnp.sqrt(sqd(br, bc))
+    out_ref[0, :] += jnp.sum(jnp.abs(da - db) * w, axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_i", "block_j", "interpret"))
+def masked_consistency_sum(coords_cad, coords_pc, w,
+                           block_i: int = 1024, block_j: int = 1024,
+                           interpret: bool = False):
+    """sum_i w_i * |d_cad(i,j) - d_pc(i,j)| for every pair j.
+
+    coords_cad/coords_pc (P, C), w (P,) float32 row weights (0 for
+    invalid rows). Returns (P,) float32. P must be a multiple of the
+    block sizes (the caller's pair lists are padded to V2*k).
+    """
+    P, c = coords_cad.shape
+    assert P % block_i == 0 and P % block_j == 0, (P, block_i, block_j)
+    pad_c = (-c) % 8
+    if pad_c:  # zero feature columns change no distance
+        coords_cad = jnp.pad(coords_cad, ((0, 0), (0, pad_c)))
+        coords_pc = jnp.pad(coords_pc, ((0, 0), (0, pad_c)))
+        c += pad_c
+    out = pl.pallas_call(
+        _consistency_kernel,
+        grid=(P // block_j, P // block_i),
+        in_specs=[
+            pl.BlockSpec((block_i, c), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_i, c), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_i, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_j, c), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_j, c), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_j), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
+        interpret=interpret,
+    )(coords_cad.astype(jnp.float32), coords_pc.astype(jnp.float32),
+      w.astype(jnp.float32)[:, None],
+      coords_cad.astype(jnp.float32), coords_pc.astype(jnp.float32))
+    return out[0]

@@ -44,11 +44,15 @@ def _consistency_mean(coords_cad, coords_pc, row_valid,
     """mean_i |d(cad_i,cad_j) - d(pc_i,pc_j)| over valid rows i, per pair j.
 
     coords_* (P, 3) per-pair endpoint coordinates. With
-    row_subsample > 0, the mean runs over a strided row subset (spread
-    uniformly across the PC-major pair ordering) instead of all P rows —
-    an unbiased screening estimate at a fraction of the P^2 cost. The
-    reference materializes the full P x P matrix on GPU
-    (spacial_filtering.py:42-58).
+    row_subsample > 0, the mean runs over a strided row subset instead
+    of all P rows. NOTE: this is a *screening approximation*, not an
+    unbiased estimate — with P = V2*k pairs in PC-major order and
+    row_subsample = P/k, the stride picks exactly the rank-0 candidate
+    rows, whose cleaner geometry systematically lowers the mean vs the
+    reference's all-rows semantics (spacial_filtering.py:42-58).
+    Measured pair-survival agreement with the exact filter is only
+    0.68/0.93 (high/low inlier regimes), so the default is 0 (exact);
+    see tests/test_solvers.py::TestRowSubsampleValidation.
     """
     P = coords_cad.shape[0]
     if row_subsample and row_subsample < P:
@@ -58,8 +62,17 @@ def _consistency_mean(coords_cad, coords_pc, row_valid,
         rows_pc = coords_pc[idx]
         rw = row_valid[idx].astype(jnp.float32)[:, None]
     else:
+        # exact path: on TPU, the fused Pallas kernel tiles both P x P
+        # distance matrices through VMEM instead of materializing
+        # 2 x 420 MB in HBM per pruning round
+        rw1 = row_valid.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(rw1), 1.0)
+        if (jax.default_backend() == "tpu" and P % 1024 == 0):
+            from ..ops.pallas import masked_consistency_sum
+            return masked_consistency_sum(coords_cad, coords_pc,
+                                          rw1) / denom
         rows_cad, rows_pc = coords_cad, coords_pc
-        rw = row_valid.astype(jnp.float32)[:, None]
+        rw = rw1[:, None]
     denom = jnp.maximum(jnp.sum(rw), 1.0)
     hi = jax.lax.Precision.HIGH  # bf16x3 MXU passes; mean averages noise
     da = jnp.sqrt(pairwise_sqdist(rows_cad, coords_cad, precision=hi))
@@ -70,7 +83,7 @@ def _consistency_mean(coords_cad, coords_pc, row_valid,
 @functools.partial(jax.jit, static_argnames=("k", "row_subsample"))
 def spatial_filtering_fmap2pointmap(C, evecs_x, evecs_y, cad_xyz, pc_xyz,
                                     x_valid, y_valid, diam_cad,
-                                    k: int = 5, row_subsample: int = 2048):
+                                    k: int = 5, row_subsample: int = 0):
     """Top-k spectral candidates + 3-stage distance-consistency pruning.
 
     Returns pairs (2, V2*k) int32 rows [cad_idx, pc_idx], valid (V2*k,).

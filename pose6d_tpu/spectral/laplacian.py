@@ -76,18 +76,22 @@ def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
 
 
 def pca_normals_and_frames(points: np.ndarray, k: int = 30):
-    """Tangent frames (X, Y, N) per point from local PCA."""
+    """Tangent frames (X, Y, N) per point from local PCA.
+
+    Fully vectorized: one batched 3x3 eigh over all V neighborhoods
+    (the per-point Python loop was the cache build's second-largest
+    cost at reference corpus scale — 200 frames x 3 datasets).
+    """
     from sklearn.neighbors import NearestNeighbors
     n_pts = len(points)
     kk = min(k, n_pts)
     nn = NearestNeighbors(n_neighbors=kk).fit(points)
     _, idx = nn.kneighbors(points)
-    normals = np.zeros_like(points)
-    for i in range(n_pts):
-        nbr = points[idx[i]] - points[idx[i]].mean(axis=0)
-        cov = nbr.T @ nbr
-        w, v = np.linalg.eigh(cov)
-        normals[i] = v[:, 0]
+    nbr = points[idx]                          # (V, k, 3)
+    nbr = nbr - nbr.mean(axis=1, keepdims=True)
+    cov = np.einsum("vki,vkj->vij", nbr, nbr)  # (V, 3, 3)
+    _, v = np.linalg.eigh(cov)
+    normals = v[:, :, 0]
     # orient towards consistent hemisphere (positive z camera convention)
     flip = normals[:, 2] < 0
     normals[flip] *= -1
@@ -114,15 +118,17 @@ def point_cloud_laplacian(points: np.ndarray, k: int = 30):
 
     n_pts = len(points)
     normals, frames, idx = pca_normals_and_frames(points, k=k)
-    rows, cols, vals = [], [], []
-    mass = np.zeros(n_pts)
+    # all tangent-plane projections in one shot: (V, k, 2)
+    local_all = points[idx] - points[:, None, :]
+    uv_all = np.einsum("vkj,vcj->vkc", local_all, frames[:, :2])
+    # Phase 1 (the only per-point work): Delaunay + one-ring selection.
+    # All cotan/area math is deferred and batched in phase 2 — the loop
+    # body's small-array numpy overhead was ~70% of the build time.
+    ring_tris = []     # (T_i, 3) local neighbor indices, per center
+    ring_center = []   # center point id, one per triangle
     for i in range(n_pts):
-        nbrs = idx[i]
-        local = points[nbrs] - points[i]
-        # project into tangent plane of point i
-        uv = local @ frames[i, :2].T  # (k, 2)
         try:
-            tri = Delaunay(uv)
+            tri = Delaunay(uv_all[i])
         except (QhullError, ValueError):
             continue
         simplices = tri.simplices
@@ -130,30 +136,36 @@ def point_cloud_laplacian(points: np.ndarray, k: int = 30):
         ring = simplices[(simplices == 0).any(axis=1)]
         if len(ring) == 0:
             continue
-        tv = uv[ring]  # (T, 3, 2) — use intrinsic (projected) geometry
-        for corner, (a, b) in enumerate([(1, 2), (2, 0), (0, 1)]):
-            ea = tv[:, b] - tv[:, a]
-            # cot at `corner` between edges to the two other corners
-            u = tv[:, a] - tv[:, corner]
-            w_ = tv[:, b] - tv[:, corner]
-            cross = u[:, 0] * w_[:, 1] - u[:, 1] * w_[:, 0]
-            dot = np.einsum("ij,ij->i", u, w_)
-            cot = dot / np.maximum(np.abs(cross), 1e-12)
-            cot = np.clip(cot, -20.0, 20.0)
-            gi, gj = nbrs[ring[:, a]], nbrs[ring[:, b]]
-            rows.append(gi)
-            cols.append(gj)
-            # Each interior surface triangle appears in ~3 centers' local
-            # triangulations and contributes one directed entry per edge
-            # per center; with the (W+W^T)/2 symmetrization below, a
-            # per-entry weight of cot/3 recovers the proper
-            # 0.5*(cot a + cot b) cotan edge weight.
-            vals.append(cot / 3.0)
-            del ea
-        area = 0.5 * np.abs(
-            (tv[:, 1, 0] - tv[:, 0, 0]) * (tv[:, 2, 1] - tv[:, 0, 1])
-            - (tv[:, 2, 0] - tv[:, 0, 0]) * (tv[:, 1, 1] - tv[:, 0, 1]))
-        mass[i] += area.sum() / 3.0
+        ring_tris.append(ring)
+        ring_center.append(np.full(len(ring), i))
+    if not ring_tris:
+        raise ValueError("degenerate point cloud: no local triangulations")
+    # Phase 2 (vectorized over every one-ring triangle of every point)
+    tris = np.concatenate(ring_tris)           # (T, 3) local indices
+    centers = np.concatenate(ring_center)      # (T,)
+    tv = uv_all[centers[:, None], tris]        # (T, 3, 2) projected coords
+    gidx = idx[centers[:, None], tris]         # (T, 3) global indices
+    rows, cols, vals = [], [], []
+    for corner, (a, b) in enumerate([(1, 2), (2, 0), (0, 1)]):
+        # cot at `corner` between edges to the two other corners
+        u = tv[:, a] - tv[:, corner]
+        w_ = tv[:, b] - tv[:, corner]
+        cross = u[:, 0] * w_[:, 1] - u[:, 1] * w_[:, 0]
+        dot = np.einsum("ij,ij->i", u, w_)
+        cot = np.clip(dot / np.maximum(np.abs(cross), 1e-12), -20.0, 20.0)
+        rows.append(gidx[:, a])
+        cols.append(gidx[:, b])
+        # Each interior surface triangle appears in ~3 centers' local
+        # triangulations and contributes one directed entry per edge
+        # per center; with the (W+W^T)/2 symmetrization below, a
+        # per-entry weight of cot/3 recovers the proper
+        # 0.5*(cot a + cot b) cotan edge weight.
+        vals.append(cot / 3.0)
+    area = 0.5 * np.abs(
+        (tv[:, 1, 0] - tv[:, 0, 0]) * (tv[:, 2, 1] - tv[:, 0, 1])
+        - (tv[:, 2, 0] - tv[:, 0, 0]) * (tv[:, 1, 1] - tv[:, 0, 1]))
+    mass = np.zeros(n_pts)
+    np.add.at(mass, centers, area / 3.0)
     W = sp.coo_matrix(
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
         shape=(n_pts, n_pts)).tocsr()

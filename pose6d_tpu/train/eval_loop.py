@@ -29,10 +29,32 @@ def build_eval_dataset(cfg):
         target_faces=cfg.target_faces, pc_lbo_backend=d.pc_lbo_backend)
 
 
+class _Subset:
+    """Index view over a dataset (this host's shard of the frame list)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i])]
+
+
 def evaluate(cfg, params, dataset=None, save_dir=None,
              sample_kw: dict | None = None):
-    """Returns (mean_ir, per_object_ir dict); writes result npzs."""
+    """Returns (mean_ir, per_object_ir dict); writes result npzs.
+
+    Multi-host: each process evaluates its strided shard of the frame
+    list (parallel/multihost.py) and per-object IR sums are allreduced
+    at the end; single-process this is the identity path.
+    """
+    from ..parallel import allreduce_metric_sums, shard_frame_list
     dataset = dataset if dataset is not None else build_eval_dataset(cfg)
+    frame_idx = shard_frame_list(len(dataset))
+    dataset = _Subset(dataset, frame_idx)
     kw = {"v_cad": cfg.pad_v_cad, "v_pc": cfg.pad_v_pc}
     kw.update(sample_kw or {})
     loader = HostLoader(dataset, cfg.eval.batch_size, shuffle=False,
@@ -81,8 +103,10 @@ def evaluate(cfg, params, dataset=None, save_dir=None,
                 nv_p = int(np.asarray(batch["pc"]["valid"][b]).sum())
                 pv = np.asarray(pvalid[b])
                 pr = np.asarray(pairs[b])[:, pv]
+                # name by GLOBAL frame index so shards never collide
+                gidx = int(dataset.indices[idx])
                 np.savez(
-                    save_dir / f"result_{idx:06d}.npz",
+                    save_dir / f"result_{gidx:06d}.npz",
                     p_pred=pr.T,              # (N, 2) like reference P_pred
                     C_pred=np.asarray(out["C"][b]),
                     ir=ir,
@@ -102,9 +126,22 @@ def evaluate(cfg, params, dataset=None, save_dir=None,
                     evecs_pc=np.asarray(
                         batch["pc"]["evecs"][b])[:nv_p, :n_fmap])
             idx += 1
-    mean_ir = float(np.mean(all_ir)) if all_ir else 0.0
-    per_obj_mean = {k: float(np.mean(v)) for k, v in sorted(per_obj.items())}
+    # cross-host aggregation: fixed-size per-object accumulators so
+    # every host contributes the same-shaped arrays (identity when
+    # single-process)
+    max_obj = 256
+    ir_sum = np.zeros(max_obj, np.float64)
+    cnt = np.zeros(max_obj, np.float64)
+    for k, v in per_obj.items():
+        if k < max_obj:
+            ir_sum[k] += float(np.sum(v))
+            cnt[k] += len(v)
+    agg = allreduce_metric_sums({"ir_sum": ir_sum, "count": cnt})
+    tot = float(agg["count"].sum())
+    mean_ir = float(agg["ir_sum"].sum() / tot) if tot else 0.0
+    per_obj_mean = {int(k): float(agg["ir_sum"][k] / agg["count"][k])
+                    for k in np.nonzero(agg["count"])[0]}
     print(f"overall IR: {mean_ir:.4f}")
     for k, v in per_obj_mean.items():
-        print(f"  obj_{k} IR: {v:.4f} (n={len(per_obj[k])})")
+        print(f"  obj_{k} IR: {v:.4f} (n={int(agg['count'][k])})")
     return mean_ir, per_obj_mean

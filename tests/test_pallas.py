@@ -38,3 +38,19 @@ def test_topk_matches_dense():
                                   np.sort(ref_idx, 1))
     np.testing.assert_allclose(np.sort(np.asarray(d2), 1),
                                np.sort(dd, 1)[:, :5], rtol=1e-4, atol=1e-4)
+
+
+def test_consistency_sum_matches_dense():
+    from pose6d_tpu.ops.pallas import masked_consistency_sum
+    rng = np.random.default_rng(3)
+    P = 256
+    ca = rng.normal(size=(P, 3)).astype(np.float32) * 2
+    cb = rng.normal(size=(P, 3)).astype(np.float32) * 2
+    w = (rng.random(P) > 0.3).astype(np.float32)
+    out = masked_consistency_sum(jnp.asarray(ca), jnp.asarray(cb),
+                                 jnp.asarray(w), block_i=128, block_j=128,
+                                 interpret=True)
+    da = np.linalg.norm(ca[:, None] - ca[None], axis=-1)
+    db = np.linalg.norm(cb[:, None] - cb[None], axis=-1)
+    ref = (np.abs(da - db) * w[:, None]).sum(0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)

@@ -135,10 +135,11 @@ class TestICPParity:
         resulting ADD to the committed post-ICP ADD. Open3D ran up to
         2000 iterations (test_RANSAC.py:445); ours runs 50. Matched-pair
         mean must be at least as good to within 5% + 0.05 cm.
-        (Measured on 24 instances: ours 5.47 vs Open3D 5.57 cm.)"""
+        (Measured on 24 instances: ours 5.47 vs Open3D 5.57 cm; the CI
+        run samples 12 of the same population to bound CPU cost.)"""
         rng = random.Random(0)
         ours, theirs = [], []
-        for r in rng.sample(committed, 24):
+        for r in rng.sample(committed, 12):
             pts = cad_pts(r["obj_id"])
             n = pts.shape[0]
             Tg = jnp.asarray(r["T_gt"], jnp.float32)
@@ -159,7 +160,7 @@ class TestICPParity:
         good = [r for r in committed
                 if r["add_icp"] < 0.08 * diameter(r["obj_id"])]
         rng = random.Random(1)
-        for r in rng.sample(good, min(10, len(good))):
+        for r in rng.sample(good, min(6, len(good))):
             pts = cad_pts(r["obj_id"])
             n = pts.shape[0]
             Tg = jnp.asarray(r["T_gt"], jnp.float32)
@@ -181,9 +182,11 @@ class TestPipelineParity:
         — eval_2.py:225) and committed correspondence count, run our
         RANSAC (threshold 0.05, test_RANSAC.py:400) + ICP, score with the
         reference's formulas. The matched-pair mean ADD / ADD-S scores
-        must be at least as good as the committed ones."""
+        must be at least as good as the committed ones. (12 instances:
+        the low-IR cases drive the adaptive RANSAC to its ~70k-trial
+        bound, which is expensive on the CPU CI host.)"""
         rng_py = random.Random(4)
-        sample = rng_py.sample(committed, 24)
+        sample = rng_py.sample(committed, 12)
         rng = np.random.default_rng(0)
         ours_add, theirs_add, ours_adds, theirs_adds = [], [], [], []
         for r in sample:

@@ -223,3 +223,28 @@ class TestParallel:
         out = pfwd(replicate(params, mesh), shard_batch(batch, mesh))
         np.testing.assert_allclose(np.asarray(out["C"]),
                                    np.asarray(ref["C"]), atol=5e-4)
+
+
+class TestMultihostSharding:
+    """Multi-host (DCN) eval sharding: the partition + aggregation logic
+    is pure and must behave identically in the single-process degenerate
+    case (parallel/multihost.py)."""
+
+    def test_frame_partition_covers_all_frames_disjointly(self):
+        from pose6d_tpu.parallel import shard_frame_list
+        n, hosts = 103, 4
+        parts = [shard_frame_list(n, process_index=i, process_count=hosts)
+                 for i in range(hosts)]
+        allidx = np.concatenate(parts)
+        assert len(allidx) == n
+        assert len(np.unique(allidx)) == n
+        # strided: per-host loads differ by at most one frame
+        sizes = [len(p) for p in parts]
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_single_process_aggregation_is_identity(self):
+        from pose6d_tpu.parallel import allreduce_metric_sums
+        sums = {"ir_sum": np.array([1.5, 2.0]), "count": np.array([3., 4.])}
+        out = allreduce_metric_sums(sums)
+        np.testing.assert_allclose(out["ir_sum"], sums["ir_sum"])
+        np.testing.assert_allclose(out["count"], sums["count"])
