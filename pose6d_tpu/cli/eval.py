@@ -11,6 +11,11 @@ from ._common import base_parser, load
 def main():
     p = base_parser(__doc__)
     p.add_argument("--weights", required=True)
+    p.add_argument("--save-results", action="store_true",
+                   help="write per-frame result npzs to cfg.save_results "
+                        "for the pose stage (reference eval.py:110-120 "
+                        "always saves; opt-in here because the npzs carry "
+                        "full bases and are large)")
     args = p.parse_args()
     cfg = load(args)
     import jax
@@ -26,7 +31,8 @@ def main():
     s = make_sample(cad, pc, _)
     template = model.init(jax.random.PRNGKey(0), s["cad"], s["pc"])
     params = load_pretrained_params(args.weights, template)
-    evaluate(cfg, params, dataset=ds)
+    save_dir = cfg.save_results if args.save_results else None
+    evaluate(cfg, params, dataset=ds, save_dir=save_dir)
 
 
 if __name__ == "__main__":
