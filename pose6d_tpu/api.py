@@ -49,11 +49,16 @@ class Predictor:
                  mode: str = "online", v_cad: int = V_CAD,
                  v_pc: int = V_PC, max_pc: int = 2000,
                  ransac_hypotheses: int = 131072, icp_iters: int = 30,
-                 lobpcg_iters: int = 80, disambiguate: bool = False):
+                 lobpcg_iters: int = 80, disambiguate: bool = False,
+                 fps_groups: int = 8):
         """disambiguate: run the depth-consistency flip-disambiguation
         stage (solvers/multistart.py) after ICP — an addition over the
         reference that rescues symmetry-flipped poses when the depth
-        image disambiguates them."""
+        image disambiguates them.
+
+        fps_groups: >1 uses grouped FPS (ops/sampling.py) to cut the
+        online path's 2000-step sequential argmax chain by that factor;
+        1 recovers the reference-exact sequential FPS."""
         assert mode in ("online", "cached")
         self.disambiguate = disambiguate
         self.params = params
@@ -71,6 +76,7 @@ class Predictor:
         self._rh = ransac_hypotheses
         self._icp_iters = icp_iters
         self._lobpcg_iters = lobpcg_iters
+        self._fps_groups = fps_groups
         self._jit_cloud = jax.jit(self._cloud_from_depth)
         self._jit_pose = jax.jit(self._pose_from_cloud)
         self._jit_cached = jax.jit(self._run_model_and_pose)
@@ -80,8 +86,13 @@ class Predictor:
         pts, valid = geometry.backproject_depth(
             depth, K, cam_scale, mask, max_points=MAX_RAW)
         keep = geometry.statistical_outlier_mask(pts, valid)
-        idx, sel_valid = sampling.farthest_point_sample(pts, keep,
-                                                        self.max_pc)
+        g = self._fps_groups
+        if g > 1 and self.max_pc % g == 0 and MAX_RAW % g == 0:
+            idx, sel_valid = sampling.farthest_point_sample_grouped(
+                pts, keep, self.max_pc, groups=g)
+        else:
+            idx, sel_valid = sampling.farthest_point_sample(pts, keep,
+                                                            self.max_pc)
         pc = jnp.where(sel_valid[:, None], pts[idx], 0.0)
         pc = pad_to_device(pc, self.v_pc)
         pc_valid = jnp.pad(sel_valid, (0, self.v_pc - self.max_pc))

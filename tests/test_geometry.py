@@ -181,6 +181,43 @@ class TestFPS:
         assert np.asarray(sel_valid).sum() == 10
 
 
+class TestGroupedFPS:
+    def test_coverage_close_to_exact(self):
+        """Grouped FPS (the online path's parallel variant) must keep
+        near-FPS spatial coverage: max distance from any cloud point to
+        its nearest sample (the covering radius) within 1.35x exact FPS,
+        and all picks unique + valid."""
+        rng = np.random.default_rng(1)
+        pts = rng.random((2048, 3)).astype(np.float32)
+        valid = jnp.ones(2048, bool)
+
+        def cover_radius(sel):
+            d = ((pts[:, None] - sel[None]) ** 2).sum(-1)
+            return float(np.sqrt(d.min(axis=1).max()))
+
+        idx_e, _ = sampling.farthest_point_sample(jnp.asarray(pts),
+                                                  valid, 256)
+        idx_g, vg = sampling.farthest_point_sample_grouped(
+            jnp.asarray(pts), valid, 256, groups=8)
+        idx_g = np.asarray(idx_g)
+        assert np.asarray(vg).all()
+        assert len(set(idx_g.tolist())) == 256
+        r_e = cover_radius(pts[np.asarray(idx_e)])
+        r_g = cover_radius(pts[idx_g])
+        assert r_g < 1.35 * r_e, (r_g, r_e)
+
+    def test_respects_validity(self):
+        pts = np.zeros((256, 3), np.float32)
+        rng = np.random.default_rng(0)
+        pts[:100] = rng.random((100, 3))
+        pts[100:] = 55.0
+        valid = np.arange(256) < 100
+        idx, vg = sampling.farthest_point_sample_grouped(
+            jnp.asarray(pts), jnp.asarray(valid), 64, groups=8)
+        sel = np.asarray(idx)[np.asarray(vg)]
+        assert sel.max() < 100
+
+
 class TestKNN:
     def test_matches_sklearn(self):
         from sklearn.neighbors import NearestNeighbors
