@@ -122,8 +122,9 @@ class HostLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
-        rng = np.random.default_rng(self.seed + self.epoch)
+        epoch = self.epoch
         self.epoch += 1
+        rng = np.random.default_rng(self.seed + epoch)
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(order)
@@ -136,10 +137,15 @@ class HostLoader:
 
         def sample_one(idx):
             from .dataset import SampleDropped
+            # per-sample Generator: numpy Generators are not thread-safe,
+            # and a shared one would also make augmentation depend on
+            # thread interleaving — this keeps every sample deterministic
+            # given (seed, epoch, frame index)
+            rng_i = np.random.default_rng((self.seed, epoch, int(idx)))
             for attempt in range(8):
                 try:
                     cad, pc, obj = self.dataset[int(idx)]
-                    return make_sample(cad, pc, obj, rng=rng,
+                    return make_sample(cad, pc, obj, rng=rng_i,
                                        **self.sample_kw)
                 except SampleDropped:
                     # dataset self-healed; substitute a neighboring sample
@@ -155,7 +161,9 @@ class HostLoader:
                         if stop.is_set():
                             return
                         q.put(collate(list(pool.map(sample_one, idxs))))
-            finally:
+            except BaseException as e:  # surface in the consumer: a
+                q.put(e)                # swallowed error would silently
+            finally:                    # truncate the epoch
                 q.put(None)
 
         th = threading.Thread(target=producer, daemon=True)
@@ -165,6 +173,8 @@ class HostLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -153,6 +153,59 @@ class TestPipeline:
         assert batch["pairs"].shape == (1, 4096, 2)
 
 
+class TestHostLoaderIntegrity:
+    """The thread-pool producer must never silently drop frames: a
+    worker exception used to end the epoch early (swallowed by the
+    finally-sentinel), which truncated eval outputs under load."""
+
+    class _StubDataset:
+        def __init__(self, n, fail_at=None):
+            self.n = n
+            self.fail_at = fail_at
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            if i == self.fail_at:
+                raise ValueError("boom")
+            cad = {"xyz": np.zeros((4, 3), np.float32),
+                   "mass": np.ones(4, np.float32),
+                   "evals": np.ones(8, np.float32),
+                   "evecs": np.zeros((4, 8), np.float32),
+                   "frames": np.zeros((4, 3, 3), np.float32),
+                   "norm": np.zeros((4, 3), np.float32)}
+            pc = dict(cad)
+            obj = {"obj_id": i, "diam_cad": 1.0, "visib_fract": 1.0,
+                   "R_m2c": np.eye(3, dtype=np.float32),
+                   "t_m2c": np.zeros(3, np.float32),
+                   "align_pc": np.zeros((4, 3), np.float32),
+                   "P": np.zeros((1, 2), np.int64),
+                   "overlap_12": np.zeros(4, np.float32),
+                   "overlap_21": np.zeros(4, np.float32)}
+            return cad, pc, obj
+
+    def _loader(self, ds, **kw):
+        from pose6d_tpu.data.pipeline import HostLoader
+        return HostLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                          v_cad=8, v_pc=8, **kw)
+
+    def test_all_frames_delivered(self):
+        ds = self._StubDataset(7)
+        loader = self._loader(ds)
+        seen = []
+        for batch in loader:  # obj_id doubles as the frame id
+            seen.extend(np.asarray(batch["obj_id"]).tolist())
+        assert sorted(set(seen)) == list(range(7))
+
+    def test_worker_exception_propagates(self):
+        ds = self._StubDataset(7, fail_at=3)
+        loader = self._loader(ds)
+        with pytest.raises(ValueError, match="boom"):
+            for _ in loader:
+                pass
+
+
 class TestNativeDecimate:
     def test_native_matches_python_quality(self):
         from pose6d_tpu.native import available, decimate_qem
