@@ -46,6 +46,9 @@ class TrainConfig:
     pretrained: Optional[str] = None  # reference weights.pt or our ckpt
     log_ir: bool = False              # per-step inlier ratio (costly)
     resume_dir: Optional[str] = None  # existing run dir to resume into
+    max_steps: Optional[int] = None   # stop at this GLOBAL step (resume-
+                                      # aware: bounds a process's lifetime
+                                      # when chaining runs)
 
 
 @dataclasses.dataclass

@@ -61,6 +61,8 @@ def train(cfg, dataset=None, max_steps: int | None = None,
     v_cad/v_pc padding for tests).
     """
     tcfg = cfg.train
+    if max_steps is None:
+        max_steps = tcfg.max_steps
     dataset = dataset if dataset is not None else build_train_dataset(cfg)
     kw = {"v_cad": cfg.pad_v_cad, "v_pc": cfg.pad_v_pc}
     kw.update(sample_kw or {})
