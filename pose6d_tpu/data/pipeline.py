@@ -87,6 +87,12 @@ def make_sample(cad: dict, pc: dict, obj: dict, rng=None,
         "align_pc": pad_to(np.asarray(obj["align_pc"], np.float32), v_pc),
         "R_m2c": np.asarray(obj["R_m2c"], np.float32),
         "t_m2c": np.asarray(obj["t_m2c"], np.float32),
+        # zeros when the cache predates the K field; consumers treat an
+        # all-zero K as "intrinsics unavailable"
+        "K": (np.asarray(obj["K"], np.float32) if "K" in obj
+              else np.zeros((3, 3), np.float32)),
+        "im_hw": (np.asarray(obj["im_hw"], np.int32) if "im_hw" in obj
+                  else np.asarray([480, 640], np.int32)),
         "diam_cad": np.float32(obj["diam_cad"]),
         "obj_id": np.int32(obj["obj_id"]),
         "visib_fract": np.float32(obj["visib_fract"]),

@@ -120,22 +120,47 @@ def pairwise_dist(a, b):
 #  reference dataset/object.py:33-50)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("nb_neighbors",))
+@functools.partial(jax.jit, static_argnames=("nb_neighbors", "block"))
 def statistical_outlier_mask(points, valid, nb_neighbors: int = 20,
-                             std_ratio: float = 0.3):
+                             std_ratio: float = 0.3, block: int = 2048):
     """Keep-mask for statistical outlier removal on a padded point set.
 
     For each valid point: mean distance to its `nb_neighbors` nearest
     valid neighbors (self excluded). A point is kept iff that mean is
     below mean + std_ratio * std over all valid points.
+
+    The kNN search is blocked (`block` rows at a time via lax.map) so the
+    (N, N) distance matrix is never materialized — at N=32768 the dense
+    form is a 4 GB buffer and dominates the cache-build wall time; the
+    blocked form keeps the working set at block x N and returns
+    numerically identical results.
     """
-    d2 = pairwise_sqdist(points, points)
     n = points.shape[0]
-    invalid = ~(valid[None, :] & valid[:, None])
-    d2 = jnp.where(invalid, BIG, d2)
-    d2 = jnp.where(jnp.eye(n, dtype=bool), BIG, d2)  # exclude self
-    # k smallest distances per row via negated top_k.
-    neg, _ = jax.lax.top_k(-d2, nb_neighbors)
+    nb = nb_neighbors
+    if n <= block:
+        d2 = pairwise_sqdist(points, points)
+        invalid = ~(valid[None, :] & valid[:, None])
+        d2 = jnp.where(invalid, BIG, d2)
+        d2 = jnp.where(jnp.eye(n, dtype=bool), BIG, d2)  # exclude self
+        neg, _ = jax.lax.top_k(-d2, nb)
+    else:
+        n_blocks = -(-n // block)
+        npad = n_blocks * block
+        pts_p = jnp.pad(points, ((0, npad - n), (0, 0)))
+        val_p = jnp.pad(valid, (0, npad - n))
+        col = jnp.arange(n)
+
+        def one_block(i):
+            rp = jax.lax.dynamic_slice(pts_p, (i * block, 0), (block, 3))
+            rv = jax.lax.dynamic_slice(val_p, (i * block,), (block,))
+            d2 = pairwise_sqdist(rp, points)
+            rows = i * block + jnp.arange(block)[:, None]
+            bad = ~(rv[:, None] & valid[None, :]) | (col[None, :] == rows)
+            blk_neg, _ = jax.lax.top_k(jnp.where(bad, -BIG, -d2), nb)
+            return blk_neg
+
+        neg = jax.lax.map(one_block, jnp.arange(n_blocks))
+        neg = neg.reshape(npad, nb)[:n]
     knn_d = jnp.sqrt(jnp.maximum(-neg, 0.0))
     # Rows with fewer than k valid neighbors pick up BIG sentinels; treat
     # those entries as missing in the mean.
