@@ -45,37 +45,45 @@ from pose6d_tpu.solvers import (disambiguate_pose_depth,  # noqa: E402
                                 spatial_filtering_fmap2pointmap)
 from pose6d_tpu.train import metrics  # noqa: E402
 
-N_FRAMES = 4
-TILE = 2          # batch = N_FRAMES * TILE
+N_FRAMES = 8      # distinct poses per object
+BENCH_OBJS = (1, 5)   # the two objects the bench checkpoint trained on
 N_ITERS = 4
 N_TRAIN_ITERS = 8
-CAD_PLY = "/root/reference/sample-data/lm/models/obj_000005.ply"
+MODELS_DIR = "/root/reference/sample-data/lm/models"
 WEIGHTS = os.environ.get(
     "POSE6D_BENCH_WEIGHTS",
     str(Path(__file__).parent / "weights" / "synth_seen.msgpack"))
-BENCH_ROOT = Path("/tmp/pose6d_bench")
+BENCH_ROOT = Path("/tmp/pose6d_bench_v2")
 
 
-def build_dataset():
+def build_datasets():
+    """One dataset per object, N_FRAMES distinct poses each — the
+    accuracy meta averages over len(BENCH_OBJS) x N_FRAMES distinct
+    (object, pose) pairs (no duplicated frames in the batch)."""
     from scipy.spatial.transform import Rotation
-    if not (BENCH_ROOT / "synth" / "train_pbr").exists():
-        mesh = read_ply(CAD_PLY)
-        v, f = decimate_mesh(mesh["verts"], mesh["faces"], 10000)
-        diam = float(np.linalg.norm(v.max(0) - v.min(0)))
-        rng = np.random.default_rng(0)
-        poses = []
-        # same pose distribution as the training scenes
-        # (cli/synth_data.py defaults, config/bench_ckpt.yaml) — but
-        # seed 0, disjoint from the seed-1 training poses
-        for k in range(N_FRAMES):
-            R = Rotation.from_rotvec(rng.normal(size=3) * 0.9).as_matrix()
-            t = np.array([rng.uniform(-60, 60), rng.uniform(-40, 40),
-                          rng.uniform(900, 1200)])
-            poses.append((R, t))
-        write_bop_scene(BENCH_ROOT, "synth", {"verts": v, "faces": f},
-                        obj_id=5, poses=poses, diameter_mm=diam)
-    return BOPObjectDataset(BENCH_ROOT, "synth",
-                            cache_dir=BENCH_ROOT / "cache")
+    out = []
+    for obj_id in BENCH_OBJS:
+        name = f"synth_o{obj_id}"
+        if not (BENCH_ROOT / name / "train_pbr").exists():
+            mesh = read_ply(f"{MODELS_DIR}/obj_{obj_id:06d}.ply")
+            v, f = decimate_mesh(mesh["verts"], mesh["faces"], 10000)
+            diam = float(np.linalg.norm(v.max(0) - v.min(0)))
+            # same pose distribution as the training scenes
+            # (cli/synth_data.py defaults, config/bench_ckpt.yaml) — but
+            # seed 0, disjoint from the seed-1 training poses
+            rng = np.random.default_rng(obj_id * 1000)
+            poses = []
+            for k in range(N_FRAMES):
+                R = Rotation.from_rotvec(
+                    rng.normal(size=3) * 0.9).as_matrix()
+                t = np.array([rng.uniform(-60, 60), rng.uniform(-40, 40),
+                              rng.uniform(900, 1200)])
+                poses.append((R, t))
+            write_bop_scene(BENCH_ROOT, name, {"verts": v, "faces": f},
+                            obj_id=obj_id, poses=poses, diameter_mm=diam)
+        out.append(BOPObjectDataset(BENCH_ROOT, name,
+                                    cache_dir=BENCH_ROOT / "cache"))
+    return out
 
 
 def load_params(model):
@@ -97,24 +105,26 @@ def load_params(model):
     return load_native(WEIGHTS, template)
 
 
-def main():
+def main(profile_dir: str | None = None):
     t_setup = time.time()
-    ds = build_dataset()
     rng = np.random.default_rng(0)
     samples, frames_meta = [], []
-    for idx in range(len(ds)):
-        cad, pc, obj = ds[idx]
-        samples.append(make_sample(cad, pc, obj, rng=rng))
-        i, j = ds.mapping_list[idx]
-        frame = ds.scenes[i]
-        K = np.asarray(frame["camera"]["cam_K"], np.float32).reshape(3, 3)
-        depth_scale = float(frame["camera"]["depth_scale"])
-        # observed depth in pipeline units (cm); 0 where invalid
-        obs_z = np.asarray(frame["depth"], np.float32) * depth_scale * 0.1
-        mask = np.asarray(frame["seg"][j] == 255)
-        frames_meta.append({"K": K, "obs_z": obs_z, "mask": mask})
-    batch = collate(samples * TILE)
-    fb = collate(frames_meta * TILE)
+    for ds in build_datasets():
+        for idx in range(len(ds)):
+            cad, pc, obj = ds[idx]
+            samples.append(make_sample(cad, pc, obj, rng=rng))
+            i, j = ds.mapping_list[idx]
+            frame = ds.scenes[i]
+            K = np.asarray(frame["camera"]["cam_K"],
+                           np.float32).reshape(3, 3)
+            depth_scale = float(frame["camera"]["depth_scale"])
+            # observed depth in pipeline units (cm); 0 where invalid
+            obs_z = (np.asarray(frame["depth"], np.float32)
+                     * depth_scale * 0.1)
+            mask = np.asarray(frame["seg"][j] == 255)
+            frames_meta.append({"K": K, "obs_z": obs_z, "mask": mask})
+    batch = collate(samples)
+    fb = collate(frames_meta)
     B = batch["cad"]["xyz"].shape[0]
     # Steady-state device-resident measurement: a production pipeline
     # double-buffers host->device copies behind compute (the repo's
@@ -165,6 +175,22 @@ def main():
             pipeline(batch, fb, jax.random.PRNGKey(i + 1)))
     dt = (time.time() - t0) / N_ITERS
     fps = B / dt
+
+    if profile_dir:
+        # one traced steady-state iteration + stage timings
+        # (utils/profiling.py); open the trace in Perfetto/XProf
+        from pose6d_tpu.utils.profiling import StageTimer, profile_trace
+        timer = StageTimer()
+        with profile_trace(profile_dir):
+            with timer("pipeline_steady_state"):
+                jax.block_until_ready(
+                    pipeline(batch, fb, jax.random.PRNGKey(99)))
+        summary = {"batch": B, "frames_per_sec": round(B / dt, 2),
+                   "stages": timer.summary()}
+        Path(profile_dir).mkdir(parents=True, exist_ok=True)
+        (Path(profile_dir) / "stage_summary.json").write_text(
+            json.dumps(summary, indent=2))
+        print(f"# profile trace + stage_summary.json -> {profile_dir}")
 
     # accuracy vs synthetic GT
     Rb = np.asarray(out["R"])
@@ -222,4 +248,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="dump a jax.profiler trace + stage summary")
+    main(profile_dir=ap.parse_args().profile)

@@ -49,16 +49,18 @@ class Predictor:
                  mode: str = "online", v_cad: int = V_CAD,
                  v_pc: int = V_PC, max_pc: int = 2000,
                  ransac_hypotheses: int = 131072, icp_iters: int = 30,
-                 lobpcg_iters: int = 80, disambiguate: bool = False,
-                 fps_groups: int = 8):
-        """disambiguate: run the depth-consistency flip-disambiguation
-        stage (solvers/multistart.py) after ICP — an addition over the
-        reference that rescues symmetry-flipped poses when the depth
-        image disambiguates them.
+                 lobpcg_iters: int = 80, disambiguate: bool = True,
+                 fps_groups: int = 1):
+        """disambiguate (default ON): run the depth-consistency
+        flip-disambiguation stage (solvers/multistart.py) after ICP —
+        an addition over the reference that rescues symmetry-flipped
+        poses when the depth image disambiguates them.
 
-        fps_groups: >1 uses grouped FPS (ops/sampling.py) to cut the
-        online path's 2000-step sequential argmax chain by that factor;
-        1 recovers the reference-exact sequential FPS."""
+        fps_groups: 1 (default) is the reference-exact sequential FPS;
+        >1 opts into grouped FPS (ops/sampling.py), which cuts the
+        online path's 2000-step sequential argmax chain by that factor
+        at the cost of a covering radius up to ~1.35x the exact FPS —
+        an explicit speed/fidelity trade, not the default."""
         assert mode in ("online", "cached")
         self.disambiguate = disambiguate
         self.params = params

@@ -19,6 +19,12 @@ def main():
     p.add_argument("--no-ply", action="store_true")
     p.add_argument("--ransac-threshold", type=float, default=0.05)
     p.add_argument("--gnc-noise-bound", type=float, default=0.05)
+    p.add_argument("--disambiguate", action="store_true",
+                   help="depth-render flip disambiguation between the "
+                        "solver and ICP (needs K in the result npzs)")
+    p.add_argument("--suffix", default="",
+                   help="append to the results_poses_* dir name "
+                        "(e.g. _disamb for A/B trees)")
     args = p.parse_args()
     from .. import runtime
     runtime.configure()
@@ -26,7 +32,9 @@ def main():
     run_pose_stage(args.results_dir, args.out_dir, solver=args.solver,
                    ransac_threshold=args.ransac_threshold,
                    gnc_noise_bound=args.gnc_noise_bound,
-                   icp_target=args.icp_target, write_ply=not args.no_ply)
+                   icp_target=args.icp_target, write_ply=not args.no_ply,
+                   disambiguate=args.disambiguate,
+                   name_suffix=args.suffix)
 
 
 if __name__ == "__main__":

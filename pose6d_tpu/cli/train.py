@@ -4,11 +4,13 @@
 """
 from __future__ import annotations
 
-from ._common import base_parser, load
+from ._common import add_multihost_args, base_parser, load
 
 
 def main():
-    args = base_parser(__doc__).parse_args()
+    p = base_parser(__doc__)
+    add_multihost_args(p)
+    args = p.parse_args()
     cfg = load(args)
     from ..train.loop import train
     train(cfg)

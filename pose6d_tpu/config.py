@@ -29,6 +29,8 @@ class DatasetConfig:
     lbo_pc: bool = True
     models_dir: str = "models"
     pc_lbo_backend: str = "host"
+    build_gradients: bool = False  # cache tangent-gradient operators
+                                   # (with_gradient_features models)
 
 
 @dataclasses.dataclass
@@ -40,6 +42,8 @@ class TrainConfig:
     epochs: int = 5000
     grad_clip: float = 5.0
     checkpoint_interval: int = 1      # epochs
+    checkpoint_keep: int = 5          # retained ckpt_*.msgpack files
+                                      # (raise for early-stopping sweeps)
     log_interval: int = 1             # steps
     num_threads: int = 4
     seed: int = 0

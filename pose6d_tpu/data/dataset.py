@@ -45,12 +45,23 @@ class BOPObjectDataset:
                  obj_take=(), num_samples: int = -1, k_eig: int = 64,
                  max_pc: int = 2000, target_faces: int = 10000,
                  models_dir: str = "models",
-                 pc_lbo_backend: str = "host"):
+                 pc_lbo_backend: str = "host",
+                 build_gradients: bool = False):
         """pc_lbo_backend: 'host' = scipy eigsh over the local-triangulation
         Laplacian (reference protocol); 'device' = the jittable graph
         Laplacian + LOBPCG (spectral/device_lbo.py) — use this when the
         model will run in the online on-device mode so train and inference
-        see the same operator family."""
+        see the same operator family.
+
+        build_gradients: also build + cache gather-form tangent-gradient
+        operators (spectral/operators.py:gradients_to_gather) for both
+        shapes — required by the with_gradient_features model variant
+        (reference computes them in its cache, dataset/object.py:214).
+        Host pc_lbo_backend only."""
+        if build_gradients and pc_lbo_backend != "host":
+            raise ValueError("build_gradients requires the host "
+                             "pc_lbo_backend (tangent frames come from "
+                             "the host operator build)")
         self.scenes = BOPSceneDataset(data_root, render_data_name, mode,
                                       num_samples=num_samples,
                                       cache_dir=cache_dir)
@@ -64,6 +75,7 @@ class BOPObjectDataset:
         self.target_faces = target_faces
         self.models_dir = models_dir
         self.pc_lbo_backend = pc_lbo_backend
+        self.build_gradients = build_gradients
         self.cache_dir = None
         if cache_dir is not None:
             self.cache_dir = Path(cache_dir) / self.render_data_name / mode
@@ -149,29 +161,36 @@ class BOPObjectDataset:
 
     def cad_operators(self, obj_id: int):
         """Decimated CAD mesh + spectral operators, cached per object."""
-        cache_file = (self.cache_dir / f"CAD_LBO_{obj_id}.npz"
+        gsuf = "_grad" if self.build_gradients else ""
+        cache_file = (self.cache_dir / f"CAD_LBO_{obj_id}{gsuf}.npz"
                       if self.cache_dir else None)
         if cache_file is not None and cache_file.exists():
             return dict(np.load(cache_file, allow_pickle=False))
-        from ..spectral import mesh_operators
+        from ..spectral import gradients_to_gather, mesh_operators
         cad_path = (self.data_root / self.render_data_name / self.models_dir
                     / f"obj_{obj_id:06d}.ply")
         mesh = read_ply(cad_path)
         verts, faces = decimate_mesh(mesh["verts"], mesh["faces"],
                                      self.target_faces)
         verts = verts * 0.1  # reference scale_cad (object.py:173)
-        so = mesh_operators(verts, faces, k_eig=self.k_eig)
+        so = mesh_operators(verts, faces, k_eig=self.k_eig,
+                            build_gradients=self.build_gradients)
         out = {
             "xyz": so.xyz, "faces": so.faces.astype(np.int32),
             "norm": so.normals, "frames": so.frames, "mass": so.mass,
             "evals": so.evals, "evecs": so.evecs,
         }
+        if self.build_gradients:
+            gi, gx, gy = gradients_to_gather(so.gradX, so.gradY)
+            out.update(grad_idx=gi, grad_cx=gx, grad_cy=gy)
         if cache_file is not None:
             np.savez(cache_file, **out)
         return out
 
     def pc_operators(self, i: int, j: int, pc: np.ndarray):
         suffix = "_dev" if self.pc_lbo_backend == "device" else ""
+        if self.build_gradients:
+            suffix += "_grad"
         cache_file = (self.cache_dir / f"{i}_{j}_pc_LBO{suffix}.npz"
                       if self.cache_dir else None)
         if cache_file is not None and cache_file.exists():
@@ -194,12 +213,18 @@ class BOPObjectDataset:
                 "evecs": np.asarray(evecs)[:v],
             }
         else:
-            from ..spectral import point_cloud_operators
-            so = point_cloud_operators(pc, k_eig=self.k_eig)
+            from ..spectral import (gradients_to_gather,
+                                    point_cloud_operators)
+            so = point_cloud_operators(
+                pc, k_eig=self.k_eig,
+                build_gradients=self.build_gradients)
             out = {
                 "xyz": so.xyz, "frames": so.frames, "mass": so.mass,
                 "evals": so.evals, "evecs": so.evecs,
             }
+            if self.build_gradients:
+                gi, gx, gy = gradients_to_gather(so.gradX, so.gradY)
+                out.update(grad_idx=gi, grad_cx=gx, grad_cy=gy)
         if cache_file is not None:
             np.savez(cache_file, **out)
         return out

