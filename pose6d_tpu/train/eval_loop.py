@@ -44,8 +44,29 @@ class _Subset:
         return self.dataset[int(self.indices[i])]
 
 
+def make_eval_fns(model, use_spatial: bool):
+    """Jitted (fwd, solver, ir_fn) for the eval loop.
+
+    `fwd` takes params as an explicit argument (not a closure) so one
+    set of compiled programs serves many checkpoints — the
+    checkpoint-curve probe (cli/probe_ckpts.py) loops dozens of
+    parameter sets through the same traced computation."""
+    fwd = jax.jit(jax.vmap(
+        lambda prm, c, p: model.apply(prm, c, p), in_axes=(None, 0, 0)))
+    if use_spatial:
+        solver = jax.jit(jax.vmap(
+            lambda C, ex, ey, cx, px, vx, vy, d:
+            spatial_filtering_fmap2pointmap(C, ex, ey, cx, px, vx, vy, d)))
+    else:
+        solver = jax.jit(jax.vmap(
+            lambda C, ex, ey, cx, px, vx, vy, d:
+            naive_fmap2pointmap(C, ex, ey, vx, vy)))
+    ir_fn = jax.jit(jax.vmap(metrics_mod.inlier_ratio))
+    return fwd, solver, ir_fn
+
+
 def evaluate(cfg, params, dataset=None, save_dir=None,
-             sample_kw: dict | None = None):
+             sample_kw: dict | None = None, eval_fns=None):
     """Returns (mean_ir, per_object_ir dict); writes result npzs.
 
     Multi-host: each process evaluates its strided shard of the frame
@@ -62,19 +83,9 @@ def evaluate(cfg, params, dataset=None, save_dir=None,
                         drop_last=False, **kw)
     model = DPFMNet(cfg.model)
     n_fmap = cfg.model.n_fmap
-    fwd = jax.jit(jax.vmap(lambda c, p: model.apply(params, c, p)))
-
     use_spatial = cfg.eval.solver == "spatial_filtering"
-    if use_spatial:
-        solver = jax.jit(jax.vmap(
-            lambda C, ex, ey, cx, px, vx, vy, d:
-            spatial_filtering_fmap2pointmap(C, ex, ey, cx, px, vx, vy, d)))
-    else:
-        solver = jax.jit(jax.vmap(
-            lambda C, ex, ey, cx, px, vx, vy, d:
-            naive_fmap2pointmap(C, ex, ey, vx, vy)))
-
-    ir_fn = jax.jit(jax.vmap(metrics_mod.inlier_ratio))
+    fwd, solver, ir_fn = (eval_fns if eval_fns is not None
+                          else make_eval_fns(model, use_spatial))
 
     save_dir = Path(save_dir) if save_dir else (
         Path(cfg.save_results) if cfg.save_results else None)
@@ -84,7 +95,7 @@ def evaluate(cfg, params, dataset=None, save_dir=None,
     all_ir, per_obj = [], {}
     idx = 0
     for batch in loader:
-        out = fwd(batch["cad"], batch["pc"])
+        out = fwd(params, batch["cad"], batch["pc"])
         pairs, pvalid = solver(
             out["C"], batch["cad"]["evecs"][:, :, :n_fmap],
             batch["pc"]["evecs"][:, :, :n_fmap],

@@ -76,7 +76,8 @@ def run_pose_stage(results_dir, out_dir, solver: str = "ransac",
             "results_poses_GNC") + name_suffix
     base = Path(out_dir) / name
     (base / "results").mkdir(parents=True, exist_ok=True)
-    (base / "ply").mkdir(parents=True, exist_ok=True)
+    if write_ply:  # --no-ply runs must not leave an empty ply/ behind
+        (base / "ply").mkdir(parents=True, exist_ok=True)
 
     files = sorted(results_dir.glob("result_*.npz"))
     acc = {f"obj_{i}_{m}": [] for i in range(1, NUM_OBJ + 1)
