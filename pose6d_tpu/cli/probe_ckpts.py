@@ -46,6 +46,9 @@ def main():
     p.add_argument("--every", type=int, default=1,
                    help="probe every Nth kept checkpoint")
     p.add_argument("--min-step", type=int, default=0)
+    p.add_argument("--pad-cad", type=int, default=None,
+                   help="override CAD pad size (small fixtures / tests)")
+    p.add_argument("--pad-pc", type=int, default=None)
     args = p.parse_args()
     cfg = load(args)
 
@@ -66,9 +69,15 @@ def main():
         cfg.eval_dataset.render_data_name = name
         datasets[name] = build_eval_dataset(cfg)
 
+    sample_kw = {}
+    if args.pad_cad:
+        sample_kw["v_cad"] = args.pad_cad
+    if args.pad_pc:
+        sample_kw["v_pc"] = args.pad_pc
+
     model = DPFMNet(cfg.model)
     cad, pc, extra = next(iter(datasets.values()))[0]
-    s = make_sample(cad, pc, extra)
+    s = make_sample(cad, pc, extra, **sample_kw)
     template = model.init(jax.random.PRNGKey(0), s["cad"], s["pc"])
     fns = make_eval_fns(model, cfg.eval.solver == "spatial_filtering")
 
@@ -80,6 +89,7 @@ def main():
         per_obj_all, means = {}, []
         for name, ds in datasets.items():
             mean_ir, per_obj = evaluate(cfg, params, dataset=ds,
+                                        sample_kw=sample_kw or None,
                                         eval_fns=fns)
             means.append(mean_ir)
             per_obj_all.update({f"obj_{k}": v for k, v in per_obj.items()})

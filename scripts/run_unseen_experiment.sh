@@ -3,21 +3,24 @@
 # object with a trained checkpoint, mirroring the reference's committed
 # results_on_* layout (test_RANSAC.py / test_teaser.py output formats).
 #
-#   scripts/run_unseen_experiment.sh <params.msgpack> <out_root> [platform]
+#   scripts/run_unseen_experiment.sh <params.msgpack> <out_root> [platform] [config]
 #
-# Produces <out_root>/obj{5,6,8,11,12}/result_*.npz (eval handoff npzs),
-# <out_root>/results_poses_RANSAC/{results/*.txt,avg_results.txt} and
-# the same for GNC, aggregated over all objects.
+# Produces <out_root>/obj{5,6,8,11,12}/result_*.npz (eval handoff npzs)
+# and three aggregated pose trees over all objects:
+#   results_poses_RANSAC/          adaptive RANSAC + flip disambiguation + ICP
+#   results_poses_RANSAC_nodisamb/ same without disambiguation (A/B ablation)
+#   results_poses_GNC/             GNC-TLS + flip disambiguation + ICP
 set -euo pipefail
 PARAMS=$1
 OUT=$2
 PLATFORM=${3:-axon}
+CONFIG=${4:-config/unseen_lm300.yaml}
 
 cd "$(dirname "$0")/.."
 mkdir -p "$OUT/all_results"
 for obj in 5 6 8 11 12; do
   env JAX_PLATFORMS=$PLATFORM python -m pose6d_tpu.cli.eval \
-    --config config/unseen_lm.yaml --weights "$PARAMS" --save-results \
+    --config $CONFIG --weights "$PARAMS" --save-results \
     eval_dataset.render_data_name=synth_eval_obj$obj \
     save_results="$OUT/obj$obj"
   # merge into one dir with disjoint names for the joint pose stage
@@ -27,7 +30,9 @@ for obj in 5 6 8 11 12; do
   done
 done
 env JAX_PLATFORMS=$PLATFORM python -m pose6d_tpu.cli.pose ransac \
-  "$OUT/all_results" "$OUT" --no-ply
+  "$OUT/all_results" "$OUT" --no-ply --disambiguate
+env JAX_PLATFORMS=$PLATFORM python -m pose6d_tpu.cli.pose ransac \
+  "$OUT/all_results" "$OUT" --no-ply --suffix _nodisamb
 env JAX_PLATFORMS=$PLATFORM python -m pose6d_tpu.cli.pose gnc \
-  "$OUT/all_results" "$OUT" --no-ply
+  "$OUT/all_results" "$OUT" --no-ply --disambiguate
 echo "UNSEEN_EXPERIMENT_DONE"

@@ -47,7 +47,9 @@ def cfg(synth_root, tmp_path_factory):
     }
     p = out / "cfg.yaml"
     p.write_text(yaml.safe_dump(doc))
-    return load_config(p)
+    c = load_config(p)
+    c._yaml_path = str(p)
+    return c
 
 
 SAMPLE_KW = {"v_cad": 1024, "v_pc": 512, "nce_pairs": 512}
@@ -158,6 +160,29 @@ class TestEndToEnd:
         txts = sorted((base / "results").glob("obj_1_result_*.txt"))
         assert txts and all("Flip hypothesis:" in t.read_text()
                             for t in txts)
+
+    def test_probe_ckpts(self, cfg, tmp_path, monkeypatch, capsys):
+        """Checkpoint-curve probe CLI: sweeps the kept checkpoints from
+        the train run against a held-out eval set in one process and
+        reports the best step by mean IR."""
+        import json
+        import sys
+        from pathlib import Path
+        from pose6d_tpu.cli.probe_ckpts import main as probe_main
+        runs = [d for d in sorted(Path(cfg.logging_dir).iterdir())
+                if (d / "ckpt").exists()]
+        assert runs
+        out = tmp_path / "probe.jsonl"
+        monkeypatch.setattr(sys, "argv", [
+            "probe_ckpts", "--config", str(cfg._yaml_path),
+            "--run", str(runs[0]),
+            "--eval-names", cfg.eval_dataset.render_data_name,
+            "--pad-cad", "1024", "--pad-pc", "512",
+            "--out", str(out)])
+        probe_main()
+        lines = [json.loads(x) for x in out.read_text().splitlines()]
+        assert lines and "best_step" in lines[-1]
+        assert all(0.0 <= r["mean_ir"] <= 1.0 for r in lines[:-1])
 
     def test_gradient_features_e2e(self, cfg):
         """with_gradient_features=True from config through real data:
