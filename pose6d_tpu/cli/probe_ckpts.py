@@ -56,7 +56,7 @@ def main():
 
     from ..data.pipeline import make_sample
     from ..models import DPFMNet
-    from ..train.eval_loop import build_eval_dataset, evaluate, make_eval_fns
+    from ..train.eval_loop import build_eval_dataset, make_eval_fns
 
     ckpts = sorted(Path(args.run).glob("ckpt/ckpt_*.msgpack"))
     ckpts = [c for c in ckpts
@@ -79,21 +79,50 @@ def main():
     cad, pc, extra = next(iter(datasets.values()))[0]
     s = make_sample(cad, pc, extra, **sample_kw)
     template = model.init(jax.random.PRNGKey(0), s["cad"], s["pc"])
-    fns = make_eval_fns(model, cfg.eval.solver == "spatial_filtering")
+    fwd, solver, ir_fn = make_eval_fns(
+        model, cfg.eval.solver == "spatial_filtering")
+
+    # materialize every eval batch ON DEVICE once — the chip sits behind
+    # a slow host tunnel, so re-uploading the (identical) batches for
+    # each of dozens of checkpoints would dominate the sweep
+    import numpy as np
+
+    from ..data.pipeline import HostLoader
+    n_fmap = cfg.model.n_fmap
+    kw = {"v_cad": cfg.pad_v_cad, "v_pc": cfg.pad_v_pc}
+    kw.update(sample_kw)
+    cached = []  # (eval_name, device_batch)
+    for name, ds in datasets.items():
+        loader = HostLoader(ds, cfg.eval.batch_size, shuffle=False,
+                            drop_last=False, **kw)
+        for batch in loader:
+            cached.append((name, jax.device_put(batch)))
 
     out = open(args.out, "a") if args.out else None
     best = (-1.0, None)
     for c in ckpts:
         step = int(c.stem.split("_")[1])
-        params = restore_params_from_trainstate(c, template)
-        per_obj_all, means = {}, []
-        for name, ds in datasets.items():
-            mean_ir, per_obj = evaluate(cfg, params, dataset=ds,
-                                        sample_kw=sample_kw or None,
-                                        eval_fns=fns)
-            means.append(mean_ir)
-            per_obj_all.update({f"obj_{k}": v for k, v in per_obj.items()})
-        mean_ir = sum(means) / len(means)
+        params = jax.device_put(
+            restore_params_from_trainstate(c, template))
+        per_obj_sum, per_obj_cnt = {}, {}
+        for _, batch in cached:
+            o = fwd(params, batch["cad"], batch["pc"])
+            pairs, pvalid = solver(
+                o["C"], batch["cad"]["evecs"][:, :, :n_fmap],
+                batch["pc"]["evecs"][:, :, :n_fmap],
+                batch["cad"]["xyz"], batch["pc"]["xyz"],
+                batch["cad"]["valid"], batch["pc"]["valid"],
+                batch["diam_cad"])
+            irs = np.asarray(ir_fn(pairs, pvalid, batch["cad"]["xyz"],
+                                   batch["align_pc"],
+                                   0.1 * batch["diam_cad"]))
+            for b in range(irs.shape[0]):
+                k = int(batch["obj_id"][b])
+                per_obj_sum[k] = per_obj_sum.get(k, 0.0) + float(irs[b])
+                per_obj_cnt[k] = per_obj_cnt.get(k, 0) + 1
+        per_obj_all = {f"obj_{k}": per_obj_sum[k] / per_obj_cnt[k]
+                       for k in sorted(per_obj_sum)}
+        mean_ir = sum(per_obj_sum.values()) / sum(per_obj_cnt.values())
         rec = {"step": step, "mean_ir": round(mean_ir, 4),
                "per_obj": {k: round(v, 4) for k, v in per_obj_all.items()}}
         line = json.dumps(rec)
