@@ -57,6 +57,10 @@ class DPFMConfig:
         f, a, o = cfg["fmap"], cfg["attention"], cfg["overlap"]
         return cls(
             c_in=f["C_in"], n_feat=f["n_feat"], n_fmap=f["n_fmap"],
+            # capacity knobs beyond the reference's config surface (its
+            # DiffusionNet hardcodes width 64 / 2 blocks, models/dpfm.py:22-30)
+            width=int(f.get("width", 64)),
+            n_blocks=int(f.get("n_blocks", 2)),
             k_eig=f["k_eig"], lambda_=float(f["lambda_"]),
             resolvent_gamma=float(f["resolvant_gamma"]), robust=f["robust"],
             num_heads=a["num_head"], gnn_dim=a["gnn_dim"],

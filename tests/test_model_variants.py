@@ -193,3 +193,37 @@ class TestGradientFeatureEncoderAlone:
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+class TestCapacityKnobs:
+    """width / n_blocks / wide-feature plumbing (beyond the reference's
+    hardcoded DiffusionNet width 64 / 2 blocks, DPFM layers)."""
+
+    def test_yaml_width_and_blocks_reach_config(self):
+        import yaml
+        cfg = yaml.safe_load(open("config/unseen_lm300_wide.yaml"))
+        mc = DPFMConfig.from_yaml_dict(cfg["model"])
+        assert mc.width == 128
+        assert mc.n_blocks == 3
+        assert mc.n_feat == 64
+        assert mc.num_heads == 4
+
+    def test_wide_forward_shapes_and_param_count(self):
+        rng = np.random.default_rng(0)
+        cad = make_shape(rng, 64, 60)
+        pc = make_shape(rng, 48, 40)
+        narrow = DPFMNet(DPFMConfig())
+        wide = DPFMNet(DPFMConfig(width=128, n_blocks=3, n_feat=64,
+                                  gnn_dim=64, num_heads=4,
+                                  overlap_feat_dim=64))
+        key = jax.random.PRNGKey(0)
+        count = lambda p: sum(x.size for x in jax.tree.leaves(p))  # noqa: E731
+        p_n = narrow.init(key, cad, pc)
+        p_w = wide.init(key, cad, pc)
+        assert count(p_w) > 4 * count(p_n)
+        out = wide.apply(p_w, cad, pc)
+        assert out["C"].shape == (30, 30)
+        assert out["overlap12"].shape == (64,)
+        assert out["overlap21"].shape == (48,)
+        assert all(bool(jnp.isfinite(v).all()) for v in
+                   (out["C"], out["overlap12"], out["overlap21"]))
