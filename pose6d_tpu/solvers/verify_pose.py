@@ -57,8 +57,9 @@ def depth_consistency_score(cad_xyz, cad_valid, R, t, K, observed_z,
     obs = obs.reshape(hh, stride, ww, stride)
     msk = mask[:hh * stride, :ww * stride].reshape(hh, stride, ww, stride)
     # coarse observed depth: min over the cell (front surface), only
-    # masked pixels
-    obs_cell = jnp.min(jnp.where(msk, obs, BIGZ), axis=(1, 3))
+    # masked pixels with valid depth (real sensors leave 0-holes inside
+    # the instance mask; those carry no evidence)
+    obs_cell = jnp.min(jnp.where(msk & (obs > 0), obs, BIGZ), axis=(1, 3))
     has_obs = obs_cell < BIGZ * 0.5
     has_ren = rendered < BIGZ * 0.5
     both = has_obs & has_ren
