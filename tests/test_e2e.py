@@ -199,3 +199,49 @@ class TestEndToEnd:
         assert "grad_idx" in cad and "grad_idx" in pc
         state = train(gcfg, dataset=ds, max_steps=2, sample_kw=SAMPLE_KW)
         assert int(state.step) == 2
+
+
+class TestSWA:
+    """cli/swa.py checkpoint averaging (beyond-reference feature)."""
+
+    def test_average_is_elementwise_mean_and_loads(self, tmp_path):
+        import numpy as np
+        from flax import serialization
+        from pose6d_tpu.cli.swa import average_checkpoints, select_paths
+        ck = tmp_path / "ckpt"
+        ck.mkdir()
+        trees = []
+        for s, scale in ((100, 1.0), (200, 3.0)):
+            tree = {"params": {"dense": {"kernel":
+                                         np.full((2, 2), scale,
+                                                 np.float32),
+                                         "bias": np.ones(2, np.float32)
+                                         * scale}},
+                    "step": s}
+            (ck / f"ckpt_{s:08d}.msgpack").write_bytes(
+                serialization.msgpack_serialize(tree))
+            trees.append(tree)
+        paths = select_paths(tmp_path, 0, 10**9)
+        assert len(paths) == 2
+        avg = average_checkpoints(paths)
+        np.testing.assert_allclose(avg["dense"]["kernel"],
+                                   np.full((2, 2), 2.0))
+        np.testing.assert_allclose(avg["dense"]["bias"], [2.0, 2.0])
+        # window selection
+        assert len(select_paths(tmp_path, 150, 10**9)) == 1
+
+    def test_mismatched_trees_rejected(self, tmp_path):
+        import numpy as np
+        import pytest
+        from flax import serialization
+        from pose6d_tpu.cli.swa import average_checkpoints
+        ck = tmp_path / "ckpt"
+        ck.mkdir()
+        a = ck / "ckpt_00000001.msgpack"
+        b = ck / "ckpt_00000002.msgpack"
+        a.write_bytes(serialization.msgpack_serialize(
+            {"params": {"w": np.ones(2, np.float32)}}))
+        b.write_bytes(serialization.msgpack_serialize(
+            {"params": {"v": np.ones(2, np.float32)}}))
+        with pytest.raises(ValueError):
+            average_checkpoints([a, b])
