@@ -49,6 +49,11 @@ class TrainConfig:
     seed: int = 0
     pretrained: Optional[str] = None  # reference weights.pt or our ckpt
     log_ir: bool = False              # per-step inlier ratio (costly)
+    # train-time rigid augmentation of the partial cloud (degrees /
+    # pipeline cm; 0 = reference behavior). Spectral caches stay valid
+    # under rigid motion — see train/augment.py.
+    augment_rotation_deg: float = 0.0
+    augment_translation: float = 0.0
     resume_dir: Optional[str] = None  # existing run dir to resume into
     max_steps: Optional[int] = None   # stop at this GLOBAL step (resume-
                                       # aware: bounds a process's lifetime

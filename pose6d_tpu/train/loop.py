@@ -74,8 +74,10 @@ def train(cfg, dataset=None, max_steps: int | None = None,
         lr=tcfg.lr, decay_factor=tcfg.decay_factor,
         decay_every_steps=tcfg.decay_iter * steps_per_epoch,
         clip_norm=tcfg.grad_clip)
-    init_fn, step_fn, fwd_batch = make_train_step(cfg.model, cfg.loss,
-                                                  optimizer)
+    init_fn, step_fn, fwd_batch = make_train_step(
+        cfg.model, cfg.loss, optimizer,
+        augment_angle=float(np.deg2rad(tcfg.augment_rotation_deg)),
+        augment_trans=tcfg.augment_translation)
     example = next(iter(loader))
     key = jax.random.PRNGKey(tcfg.seed)
     # Initialize parameters on host CPU: init is tiny (24k params) and

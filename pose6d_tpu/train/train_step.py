@@ -46,14 +46,20 @@ def make_optimizer(lr: float = 5e-4, decay_factor: float = 0.1,
 
 def make_train_step(model_cfg: DPFMConfig = DPFMConfig(),
                     loss_cfg: DPFMLossConfig = DPFMLossConfig(),
-                    optimizer=None):
+                    optimizer=None, augment_angle: float = 0.0,
+                    augment_trans: float = 0.0):
     """Returns (init_fn, step_fn).
 
     init_fn(key, example_batch) -> TrainState
     step_fn(state, batch, key) -> (TrainState, logs)
+
+    augment_angle/augment_trans: train-time rigid perturbation of the
+    partial cloud (train/augment.py) — spectral quantities and GT stay
+    valid under rigid motion; 0 disables (reference behavior).
     """
     model = DPFMNet(model_cfg)
     tx = optimizer if optimizer is not None else make_optimizer()
+    from .augment import augment_pc_batch
 
     def fwd_batch(params, batch):
         return jax.vmap(lambda c, p: model.apply(params, c, p))(
@@ -70,6 +76,10 @@ def make_train_step(model_cfg: DPFMConfig = DPFMConfig(),
         return loss, (logs, out["C"])
 
     def step_fn(state, batch, key):
+        if augment_angle > 0.0 or augment_trans > 0.0:
+            kaug, key = jax.random.split(key)
+            batch = augment_pc_batch(kaug, batch, augment_angle,
+                                     augment_trans)
         (loss, (logs, C)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, key)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

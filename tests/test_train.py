@@ -248,3 +248,57 @@ class TestMultihostSharding:
         out = allreduce_metric_sums(sums)
         np.testing.assert_allclose(out["ir_sum"], sums["ir_sum"])
         np.testing.assert_allclose(out["count"], sums["count"])
+
+
+class TestAugmentation:
+    """train/augment.py: rigid PC augmentation (beyond-reference;
+    valid because the LBO eigenbasis is intrinsic)."""
+
+    def _batch(self, rng, B=2, V=64, nv=50):
+        from tests.test_models import make_shape
+        pcs = [make_shape(rng, V, nv) for _ in range(B)]
+        import jax.numpy as jnp
+        stack = lambda k: jnp.stack([p[k] for p in pcs])  # noqa: E731
+        return {"pc": {k: stack(k) for k in pcs[0]}}
+
+    def test_rigid_invariants_and_padding(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from pose6d_tpu.train.augment import augment_pc_batch
+        rng = np.random.default_rng(0)
+        batch = self._batch(rng)
+        out = augment_pc_batch(jax.random.PRNGKey(1), batch,
+                               max_angle=np.pi, trans_jitter=5.0)
+        x0 = np.asarray(batch["pc"]["xyz"])
+        x1 = np.asarray(out["pc"]["xyz"])
+        v = np.asarray(batch["pc"]["valid"])
+        assert not np.allclose(x0[v], x1[v])       # actually moved
+        assert np.all(x1[~v] == 0)                 # padding untouched
+        for b in range(x0.shape[0]):               # rigid: distances kept
+            a, c = x0[b][v[b]], x1[b][v[b]]
+            da = np.linalg.norm(a[None] - a[:, None], axis=-1)
+            dc = np.linalg.norm(c[None] - c[:, None], axis=-1)
+            np.testing.assert_allclose(da, dc, atol=1e-3)
+        # disabled -> identity
+        same = augment_pc_batch(jax.random.PRNGKey(1), batch, 0.0, 0.0)
+        assert same is batch
+
+    def test_train_step_with_augmentation_runs(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from pose6d_tpu.models import DPFMConfig
+        from pose6d_tpu.train.train_step import make_train_step
+        from tests.test_models import make_shape
+        rng = np.random.default_rng(0)
+        batch = make_batch(rng)
+        init_fn, step_fn, _ = make_train_step(
+            DPFMConfig(), DPFMLossConfig(nce_num_pairs=32),
+            augment_angle=float(np.deg2rad(60)), augment_trans=2.0)
+        key = jax.random.PRNGKey(0)
+        state = init_fn(key, batch)
+        state2, logs = jax.jit(step_fn)(state, batch, key)
+        assert bool(jnp.isfinite(logs["loss"]))
+        assert bool(jnp.isfinite(logs["grad_norm"]))
+        assert int(state2.step) == 1
