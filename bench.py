@@ -105,7 +105,32 @@ def load_params(model):
     return load_native(WEIGHTS, template)
 
 
+def _require_backend(timeout_s: int = 900):
+    """Fail loudly if the device backend can't come up.
+
+    The tunneled TPU backend has been observed to hang indefinitely at
+    init during outages (no error, blocked socket) — uninterruptibly,
+    so the probe runs in a killable child process. A hung bench stalls
+    the whole harness; an explicit error record does not.
+    """
+    import subprocess
+    import sys
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        print(json.dumps({
+            "metric": "frames_per_sec_per_chip_full_pipeline",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "meta": {"error":
+                     f"device backend unavailable after {timeout_s}s"}}))
+        sys.exit(2)
+    return jax.devices()[0]
+
+
 def main(profile_dir: str | None = None):
+    _require_backend()
     t_setup = time.time()
     rng = np.random.default_rng(0)
     samples, frames_meta = [], []
