@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import sys  # noqa: E402
+
+# The tunnel-backed TPU plugin blocks backend init (plugin discovery
+# touches every registered plugin) when its tunnel is down, even with
+# cpu selected — hide it; this suite is CPU-only by construction.
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+
 import jax  # noqa: E402
 
 # This environment pins jax_platforms to "axon,cpu" (TPU plugin) at import,
