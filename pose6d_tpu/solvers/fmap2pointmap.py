@@ -83,8 +83,15 @@ def _consistency_mean(coords_cad, coords_pc, row_valid,
 @functools.partial(jax.jit, static_argnames=("k", "row_subsample"))
 def spatial_filtering_fmap2pointmap(C, evecs_x, evecs_y, cad_xyz, pc_xyz,
                                     x_valid, y_valid, diam_cad,
-                                    k: int = 5, row_subsample: int = 0):
-    """Top-k spectral candidates + 3-stage distance-consistency pruning.
+                                    k: int = 5, row_subsample: int = 0,
+                                    taus=(0.3, 0.15, 0.055, 0.065)):
+    """Top-k spectral candidates + multi-stage distance-consistency
+    pruning.
+
+    taus: pruning schedule as diam_cad fractions — every entry but the
+    last two is a plain pruning round; the final pair is the
+    (tight, loose-fallback) threshold of the last round (reference
+    spacial_filtering.py:59-73 hardcodes (0.3, 0.15, 0.055, 0.065)).
 
     Returns pairs (2, V2*k) int32 rows [cad_idx, pc_idx], valid (V2*k,).
     """
@@ -104,12 +111,12 @@ def spatial_filtering_fmap2pointmap(C, evecs_x, evecs_y, cad_xyz, pc_xyz,
         m = _consistency_mean(ca, cb, valid, row_subsample)
         return valid & (m < tau * diam_cad)
 
-    valid = prune(valid, 0.3)
-    valid = prune(valid, 0.15)
+    for tau in taus[:-2]:
+        valid = prune(valid, tau)
     # final stage with fallback threshold (reference
     # spacial_filtering.py:68-73)
     m = _consistency_mean(ca, cb, valid, row_subsample)
-    keep_tight = valid & (m < 0.055 * diam_cad)
-    keep_loose = valid & (m < 0.065 * diam_cad)
+    keep_tight = valid & (m < taus[-2] * diam_cad)
+    keep_loose = valid & (m < taus[-1] * diam_cad)
     valid = jnp.where(jnp.any(keep_tight), keep_tight, keep_loose)
     return jnp.stack([cad_idx, pc_idx]), valid

@@ -292,6 +292,34 @@ class TestFmap2Pointmap:
         good_pair = np.isin(pairs[1], np.setdiff1d(np.arange(v2), bad))
         assert (good_pair[valid]).mean() > 0.9
 
+    def test_spatial_filtering_tau_schedule_param(self):
+        """taus: default matches the hardcoded reference schedule
+        exactly; a looser final pair keeps a superset of survivors."""
+        rng = np.random.default_rng(2)
+        v1, v2, k = 256, 128, 30
+        cad = rng.normal(size=(v1, 3)).astype(np.float32) * 2
+        perm = rng.permutation(v1)[:v2]
+        R = random_rotation(rng); t = rng.normal(size=3)
+        pc = (cad[perm] @ R.T + t).astype(np.float32)
+        evecs_x = np.linalg.qr(rng.normal(size=(v1, k)))[0].astype(np.float32)
+        evecs_y = evecs_x[perm].copy()
+        bad = rng.choice(v2, v2 // 4, replace=False)
+        evecs_y[bad] = np.linalg.qr(rng.normal(size=(v1, k)))[0][:len(bad)]
+        diam = float(np.linalg.norm(cad.max(0) - cad.min(0)))
+        args = (jnp.eye(k), jnp.asarray(evecs_x), jnp.asarray(evecs_y),
+                jnp.asarray(cad), jnp.asarray(pc),
+                jnp.ones(v1, bool), jnp.ones(v2, bool), diam)
+        p_def, v_def = spatial_filtering_fmap2pointmap(*args, k=5)
+        p_exp, v_exp = spatial_filtering_fmap2pointmap(
+            *args, k=5, taus=(0.3, 0.15, 0.055, 0.065))
+        np.testing.assert_array_equal(np.asarray(p_def), np.asarray(p_exp))
+        np.testing.assert_array_equal(np.asarray(v_def), np.asarray(v_exp))
+        _, v_loose = spatial_filtering_fmap2pointmap(
+            *args, k=5, taus=(0.3, 0.15, 0.2, 0.25))
+        v_def, v_loose = np.asarray(v_def), np.asarray(v_loose)
+        assert v_loose.sum() >= v_def.sum()
+        assert np.all(v_loose[v_def])   # superset
+
     def test_spatial_filtering_end_to_end_with_ransac(self):
         rng = np.random.default_rng(3)
         v1, v2, k = 256, 128, 30
