@@ -17,6 +17,11 @@ def main():
     p.add_argument("results_dir")
     p.add_argument("--solver", choices=["naive", "spatial_filtering"],
                    default="spatial_filtering")
+    p.add_argument("--topk", type=int, default=5,
+                   help="spectral candidates per PC point")
+    p.add_argument("--taus", type=float, nargs="+", default=None,
+                   help="consistency schedule as diam fractions; last "
+                        "two = (tight, loose-fallback) final round")
     args = p.parse_args()
     from .. import runtime
     runtime.configure()
@@ -46,10 +51,13 @@ def main():
         if args.solver == "naive":
             pairs, valid = naive_fmap2pointmap(C, ex, ey, xv, yv)
         else:
+            kw = {"k": args.topk}
+            if args.taus:
+                kw["taus"] = tuple(args.taus)
             pairs, valid = spatial_filtering_fmap2pointmap(
                 C, ex, ey, jnp.asarray(pad_to(r["cad_xyz"], vc)),
                 jnp.asarray(pad_to(r["pcd_depth"], vp)), xv, yv,
-                float(r["diam_cad"]))
+                float(r["diam_cad"]), **kw)
         ir = float(metrics.inlier_ratio(
             pairs, valid, jnp.asarray(pad_to(r["cad_xyz"], vc)),
             jnp.asarray(pad_to(r["align_pc"], vp)),
