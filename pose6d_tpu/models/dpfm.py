@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from .attention import CrossAttentionRefinementNet
 from .diffusion_net import DiffusionNet
@@ -39,6 +40,14 @@ class DPFMConfig:
     # Input normalization (reference models/dpfm.py:53: (xyz-110)/50).
     norm_shift: float = 110.0
     norm_scale: float = 50.0
+    # Encoder input assembly. The reference feeds raw xyz only
+    # (models/dpfm.py:53); "hks"/"xyz_hks" add intrinsic heat-kernel-
+    # signature channels (ops/hks.py) — pose-invariant by construction,
+    # aimed at the unseen-protocol generalization gap. c_in stays the
+    # reference-parity field for the xyz path; first_lin infers its
+    # input width, so the extra channels need no shape bookkeeping.
+    input_features: str = "xyz"      # xyz | hks | xyz_hks
+    n_hks: int = 16
     # Pallas flash-attention path for the refiner (TPU, shapes % 512)
     use_flash: bool = False
     # Model-variant switches matching the reference's config space:
@@ -71,7 +80,9 @@ class DPFMConfig:
             with_gradient_features=bool(
                 f.get("with_gradient_features", False)),
             with_gradient_rotations=bool(
-                f.get("with_gradient_rotations", True)))
+                f.get("with_gradient_rotations", True)),
+            input_features=str(f.get("input_features", "xyz")),
+            n_hks=int(f.get("n_hks", 16)))
 
 
 class DPFMNet(nn.Module):
@@ -98,7 +109,15 @@ class DPFMNet(nn.Module):
                                name="feature_extractor")
 
         def branch(shape):
-            feats = (shape["xyz"] - c.norm_shift) / c.norm_scale
+            parts = []
+            if "xyz" in c.input_features:
+                parts.append((shape["xyz"] - c.norm_shift) / c.norm_scale)
+            if "hks" in c.input_features:
+                from ..ops.hks import heat_kernel_signature
+                parts.append(heat_kernel_signature(
+                    shape["evals"], shape["evecs"], shape["mass"],
+                    shape["valid"], n_t=c.n_hks))
+            feats = jnp.concatenate(parts, axis=-1)
             grad = None
             if c.with_gradient_features:
                 grad = (shape["grad_idx"], shape["grad_cx"],

@@ -1,0 +1,42 @@
+"""Heat-kernel-signature point descriptors from cached eigenpairs.
+
+HKS(v, t) = sum_k exp(-lambda_k t) phi_k(v)^2 — the diagonal of the heat
+kernel, an *intrinsic* descriptor: exactly invariant to rigid motion of
+the point set (it never sees coordinates, only the LBO spectrum already
+cached for every shape). Offered as a model input
+(`DPFMConfig.input_features`) because the measured unseen-protocol
+failure mode is the xyz-input encoder tying features to camera-frame
+pose (docs/DESIGN.md oracle-bound note); the reference trains on raw
+xyz only (models/dpfm.py:53).
+
+Time samples are log-spaced over [4 ln10 / lambda_max, 4 ln10 / lambda_2]
+per shape (the autoscaled range of Sun et al. / DiffusionNet's
+compute_hks_autoscale), and each time channel is normalized to
+mass-weighted mean 1 over valid vertices so CAD (full) and PC (partial)
+descriptors live on a comparable scale.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_LN10 = 2.302585092994046
+
+
+def heat_kernel_signature(evals, evecs, mass, valid, n_t: int = 16):
+    """Scaled HKS.
+
+    evals (K,) ascending; evecs (V, K) zero on padded rows; mass (V,);
+    valid (V,) bool. Returns (V, n_t) float, zero on padded rows.
+    """
+    lam = jnp.clip(evals, 0.0, None)
+    l_lo = jnp.maximum(lam[1], 1e-6)          # skip the ~0 constant mode
+    l_hi = jnp.maximum(lam[-1], l_lo * 1.01)
+    t = jnp.exp(jnp.linspace(jnp.log(4.0 * _LN10 / l_hi),
+                             jnp.log(4.0 * _LN10 / l_lo), n_t))
+    e = jnp.exp(-lam[None, :] * t[:, None])   # (T, K)
+    h = (evecs * evecs) @ e.T                 # (V, T)
+    w = (mass * valid).astype(h.dtype)
+    mean = ((w[:, None] * h).sum(0)
+            / jnp.maximum(w.sum(), 1e-12))    # (T,)
+    h = h / jnp.maximum(mean, 1e-12)
+    return jnp.where(valid[:, None], h, 0.0)

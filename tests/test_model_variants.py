@@ -227,3 +227,70 @@ class TestCapacityKnobs:
         assert out["overlap21"].shape == (48,)
         assert all(bool(jnp.isfinite(v).all()) for v in
                    (out["C"], out["overlap12"], out["overlap21"]))
+
+
+class TestHKSInputFeatures:
+    """input_features=hks/xyz_hks: intrinsic heat-kernel-signature
+    channels (ops/hks.py) — beyond the reference's raw-xyz input
+    (models/dpfm.py:53)."""
+
+    def _pair(self, rng, v=96, nv=90):
+        return make_shape(rng, v, nv), make_shape(rng, v // 2, nv // 2)
+
+    def test_hks_properties(self):
+        from pose6d_tpu.ops.hks import heat_kernel_signature
+        rng = np.random.default_rng(0)
+        s = make_shape(rng, 128, 100)
+        h = np.asarray(heat_kernel_signature(
+            s["evals"], s["evecs"], s["mass"], s["valid"], n_t=16))
+        valid = np.asarray(s["valid"])
+        assert h.shape == (128, 16)
+        assert np.all(h[~valid] == 0)          # padded rows zero
+        assert np.all(h[valid] >= 0)           # squared-basis sums
+        # per-channel mass-weighted mean over valid verts == 1
+        w = np.asarray(s["mass"]) * valid
+        mean = (w[:, None] * h).sum(0) / w.sum()
+        np.testing.assert_allclose(mean, 1.0, rtol=1e-4)
+
+    def test_hks_model_invariant_to_rigid_motion(self):
+        """hks inputs never see coordinates: moving the PC rigidly must
+        leave every output bit-identical; the xyz model must differ."""
+        from scipy.spatial.transform import Rotation
+        rng = np.random.default_rng(1)
+        cad, pc = self._pair(rng)
+        R = jnp.asarray(Rotation.from_rotvec([0.3, -0.2, 0.5]).as_matrix(),
+                        jnp.float32)
+        pc_moved = dict(pc)
+        pc_moved["xyz"] = jnp.where(pc["valid"][:, None],
+                                    pc["xyz"] @ R.T + 3.0, 0.0)
+        for feats, expect_same in (("hks", True), ("xyz", False)):
+            model = DPFMNet(DPFMConfig(input_features=feats))
+            params = model.init(jax.random.PRNGKey(0), cad, pc)
+            a = model.apply(params, cad, pc)
+            b = model.apply(params, cad, pc_moved)
+            same = bool(jnp.allclose(a["C"], b["C"], atol=1e-6))
+            assert same == expect_same, feats
+
+    def test_xyz_hks_train_step_and_yaml(self):
+        from pose6d_tpu.train.train_step import make_train_step
+        from pose6d_tpu.train.loss import DPFMLossConfig
+        from tests.test_train import make_batch
+        cfg = DPFMConfig.from_yaml_dict({
+            "fmap": {"C_in": 3, "n_feat": 32, "n_fmap": 30, "k_eig": 64,
+                     "lambda_": 100, "resolvant_gamma": 0.5, "robust": True,
+                     "input_features": "xyz_hks", "n_hks": 8},
+            "attention": {"num_head": 2, "gnn_dim": 32, "ref_n_layers": 1},
+            "overlap": {"overlap_feat_dim": 32}})
+        assert cfg.input_features == "xyz_hks" and cfg.n_hks == 8
+        rng = np.random.default_rng(0)
+        batch = make_batch(rng)
+        init_fn, step_fn, _ = make_train_step(
+            cfg, DPFMLossConfig(nce_num_pairs=32))
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        state, logs = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(1))
+        assert bool(jnp.isfinite(logs["loss"]))
+        # first_lin consumed 3 + 8 channels
+        k = [k for k in state.params["params"]["feature_extractor"]
+             if k == "first_lin"][0]
+        w = state.params["params"]["feature_extractor"][k]["kernel"]
+        assert w.shape[0] == 11
