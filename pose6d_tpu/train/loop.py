@@ -49,9 +49,24 @@ def build_train_dataset(cfg):
 def load_pretrained_params(path: str, template):
     if str(path).endswith(".pt"):
         from ..models.port_weights import load_reference_checkpoint
-        return load_reference_checkpoint(path)
-    from .checkpoint import load_params
-    return load_params(path, template)
+        loaded = load_reference_checkpoint(path)
+    else:
+        from .checkpoint import load_params
+        loaded = load_params(path, template)
+    # Function-preserving input widening: an xyz-trained checkpoint
+    # warm-starts an input_features="xyz_hks" model by zero-extending
+    # first_lin's input rows (port_weights.extend_first_lin_input) —
+    # the HKS channels start contributing exactly 0.
+    try:
+        tk = template["params"]["feature_extractor"]["first_lin"]["kernel"]
+        lk = loaded["params"]["feature_extractor"]["first_lin"]["kernel"]
+        if lk.shape[0] < tk.shape[0] and lk.shape[1] == tk.shape[1]:
+            from ..models.port_weights import extend_first_lin_input
+            loaded = extend_first_lin_input(loaded,
+                                            tk.shape[0] - lk.shape[0])
+    except (KeyError, TypeError):
+        pass
+    return loaded
 
 
 def train(cfg, dataset=None, max_steps: int | None = None,

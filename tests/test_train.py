@@ -302,3 +302,33 @@ class TestAugmentation:
         assert bool(jnp.isfinite(logs["loss"]))
         assert bool(jnp.isfinite(logs["grad_norm"]))
         assert int(state2.step) == 1
+
+
+class TestPretrainedAutoWiden:
+    def test_xyz_checkpoint_warm_starts_hks_model(self, tmp_path):
+        """load_pretrained_params zero-extends first_lin when the config
+        adds HKS input channels — function-preserving warm start."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from pose6d_tpu.models import DPFMConfig, DPFMNet
+        from pose6d_tpu.train.checkpoint import save_params
+        from pose6d_tpu.train.loop import load_pretrained_params
+        from tests.test_models import make_shape
+        rng = np.random.default_rng(0)
+        cad, pc = make_shape(rng, 96, 90), make_shape(rng, 48, 45)
+        xyz = DPFMNet(DPFMConfig(input_features="xyz"))
+        p_xyz = xyz.init(jax.random.PRNGKey(0), cad, pc)
+        path = tmp_path / "xyz.msgpack"
+        save_params(path, p_xyz)
+        hks = DPFMNet(DPFMConfig(input_features="xyz_hks", n_hks=16))
+        tmpl = hks.init(jax.random.PRNGKey(1), cad, pc)
+        loaded = load_pretrained_params(str(path), tmpl)
+        a = xyz.apply(p_xyz, cad, pc)
+        b = hks.apply(loaded, cad, pc)
+        np.testing.assert_array_equal(np.asarray(a["C"]),
+                                      np.asarray(b["C"]))
+        # same-shape load stays untouched
+        same = load_pretrained_params(str(path), p_xyz)
+        k = same["params"]["feature_extractor"]["first_lin"]["kernel"]
+        assert k.shape == (3, jnp.asarray(k).shape[1])
