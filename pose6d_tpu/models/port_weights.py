@@ -72,3 +72,26 @@ def load_reference_checkpoint(path: str) -> dict:
     import torch
     sd = torch.load(path, map_location="cpu")
     return port_reference_checkpoint(sd)
+
+
+def extend_first_lin_input(params: dict, extra_in: int) -> dict:
+    """Widen the encoder's first_lin input by `extra_in` zero columns.
+
+    Makes an xyz-trained parameter tree (ported weights.pt or a native
+    checkpoint) a *function-preserving* warm start for an
+    input_features="xyz_hks" model: the appended HKS channels initially
+    contribute exactly 0, so the extended model reproduces the xyz
+    model bit-for-bit, then training grows into the intrinsic channels.
+    """
+    import jax.numpy as jnp
+    out = {k: v for k, v in params.items()}
+    p = dict(out["params"])
+    fe = dict(p["feature_extractor"])
+    fl = dict(fe["first_lin"])
+    k = fl["kernel"]                      # (c_in, width)
+    fl["kernel"] = jnp.concatenate(
+        [k, jnp.zeros((extra_in, k.shape[1]), k.dtype)], axis=0)
+    fe["first_lin"] = fl
+    p["feature_extractor"] = fe
+    out["params"] = p
+    return out

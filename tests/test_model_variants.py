@@ -294,3 +294,21 @@ class TestHKSInputFeatures:
              if k == "first_lin"][0]
         w = state.params["params"]["feature_extractor"][k]["kernel"]
         assert w.shape[0] == 11
+
+    def test_extend_first_lin_is_function_preserving(self):
+        """Zero-extended xyz params drive an xyz_hks model to the exact
+        xyz-model outputs (warm-start contract of
+        port_weights.extend_first_lin_input)."""
+        from pose6d_tpu.models.port_weights import extend_first_lin_input
+        rng = np.random.default_rng(3)
+        cad, pc = self._pair(rng)
+        xyz_model = DPFMNet(DPFMConfig(input_features="xyz"))
+        params = xyz_model.init(jax.random.PRNGKey(2), cad, pc)
+        hks_model = DPFMNet(DPFMConfig(input_features="xyz_hks", n_hks=16))
+        ext = extend_first_lin_input(params, 16)
+        a = xyz_model.apply(params, cad, pc)
+        b = hks_model.apply(ext, cad, pc)
+        np.testing.assert_array_equal(np.asarray(a["C"]),
+                                      np.asarray(b["C"]))
+        np.testing.assert_array_equal(np.asarray(a["overlap21"]),
+                                      np.asarray(b["overlap21"]))
