@@ -46,8 +46,10 @@ class DPFMConfig:
     # aimed at the unseen-protocol generalization gap. c_in stays the
     # reference-parity field for the xyz path; first_lin infers its
     # input width, so the extra channels need no shape bookkeeping.
-    input_features: str = "xyz"      # xyz | hks | xyz_hks
+    # any underscore-joined combo of {xyz, hks, wks}, e.g. "xyz_hks"
+    input_features: str = "xyz"
     n_hks: int = 16
+    n_wks: int = 16
     # Pallas flash-attention path for the refiner (TPU, shapes % 512)
     use_flash: bool = False
     # Model-variant switches matching the reference's config space:
@@ -82,7 +84,8 @@ class DPFMConfig:
             with_gradient_rotations=bool(
                 f.get("with_gradient_rotations", True)),
             input_features=str(f.get("input_features", "xyz")),
-            n_hks=int(f.get("n_hks", 16)))
+            n_hks=int(f.get("n_hks", 16)),
+            n_wks=int(f.get("n_wks", 16)))
 
 
 class DPFMNet(nn.Module):
@@ -117,6 +120,11 @@ class DPFMNet(nn.Module):
                 parts.append(heat_kernel_signature(
                     shape["evals"], shape["evecs"], shape["mass"],
                     shape["valid"], n_t=c.n_hks))
+            if "wks" in c.input_features:
+                from ..ops.hks import wave_kernel_signature
+                parts.append(wave_kernel_signature(
+                    shape["evals"], shape["evecs"], shape["mass"],
+                    shape["valid"], n_e=c.n_wks))
             feats = jnp.concatenate(parts, axis=-1)
             grad = None
             if c.with_gradient_features:

@@ -40,3 +40,28 @@ def heat_kernel_signature(evals, evecs, mass, valid, n_t: int = 16):
             / jnp.maximum(w.sum(), 1e-12))    # (T,)
     h = h / jnp.maximum(mean, 1e-12)
     return jnp.where(valid[:, None], h, 0.0)
+
+
+def wave_kernel_signature(evals, evecs, mass, valid, n_e: int = 16,
+                          sigma_scale: float = 7.0):
+    """Scaled WKS (Aubry et al.): band-pass sibling of the HKS.
+
+    WKS(v, e) = sum_k exp(-(e - log lambda_k)^2 / 2 sigma^2) phi_k(v)^2
+    with n_e energies uniform in log-eigenvalue range and
+    sigma = sigma_scale * (e_max - e_min) / n_e. More discriminative at
+    high frequencies than the low-pass HKS; same intrinsic invariance.
+    Returns (V, n_e), zero on padded rows, each channel normalized to
+    mass-weighted mean 1 over valid vertices.
+    """
+    lam = jnp.clip(evals, 1e-6, None)
+    log_l = jnp.log(lam)
+    e_min, e_max = log_l[1], log_l[-1]
+    sigma = jnp.maximum(sigma_scale * (e_max - e_min) / n_e, 1e-3)
+    e = jnp.linspace(e_min + 2.0 * sigma, e_max - 2.0 * sigma, n_e)
+    g = jnp.exp(-0.5 * ((e[:, None] - log_l[None, :]) / sigma) ** 2)
+    g = g / jnp.maximum(g.sum(-1, keepdims=True), 1e-12)   # (E, K)
+    h = (evecs * evecs) @ g.T                               # (V, E)
+    w = (mass * valid).astype(h.dtype)
+    mean = (w[:, None] * h).sum(0) / jnp.maximum(w.sum(), 1e-12)
+    h = h / jnp.maximum(mean, 1e-12)
+    return jnp.where(valid[:, None], h, 0.0)

@@ -312,3 +312,33 @@ class TestHKSInputFeatures:
                                       np.asarray(b["C"]))
         np.testing.assert_array_equal(np.asarray(a["overlap21"]),
                                       np.asarray(b["overlap21"]))
+
+    def test_wks_properties_and_invariance(self):
+        """WKS channels: padded-zero, normalized, and the wks model is
+        rigidly invariant like the hks one."""
+        from scipy.spatial.transform import Rotation
+        from pose6d_tpu.ops.hks import wave_kernel_signature
+        rng = np.random.default_rng(4)
+        s = make_shape(rng, 128, 100)
+        h = np.asarray(wave_kernel_signature(
+            s["evals"], s["evecs"], s["mass"], s["valid"], n_e=12))
+        valid = np.asarray(s["valid"])
+        assert h.shape == (128, 12)
+        assert np.all(h[~valid] == 0) and np.all(h[valid] >= 0)
+        w = np.asarray(s["mass"]) * valid
+        np.testing.assert_allclose((w[:, None] * h).sum(0) / w.sum(),
+                                   1.0, rtol=1e-4)
+        cad, pc = self._pair(rng)
+        R = jnp.asarray(Rotation.from_rotvec([0.1, 0.4, -0.3]).as_matrix(),
+                        jnp.float32)
+        pc_moved = dict(pc)
+        pc_moved["xyz"] = jnp.where(pc["valid"][:, None],
+                                    pc["xyz"] @ R.T - 2.0, 0.0)
+        model = DPFMNet(DPFMConfig(input_features="hks_wks"))
+        params = model.init(jax.random.PRNGKey(0), cad, pc)
+        a = model.apply(params, cad, pc)
+        b = model.apply(params, cad, pc_moved)
+        assert bool(jnp.allclose(a["C"], b["C"], atol=1e-6))
+        # first_lin consumed n_hks + n_wks = 32 channels
+        k = params["params"]["feature_extractor"]["first_lin"]["kernel"]
+        assert k.shape[0] == 32
