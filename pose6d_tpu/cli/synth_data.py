@@ -28,6 +28,14 @@ def main():
     p.add_argument("--rot-sigma", type=float, default=0.9)
     p.add_argument("--target-faces", type=int, default=10000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--occlude-prob", type=float, default=0.0,
+                   help="per-frame probability of a box occluder "
+                        "(visib_fract computed exactly from z-buffers)")
+    p.add_argument("--depth-noise-mm", type=float, default=0.0,
+                   help="Gaussian depth noise sigma in mm (sensor model)")
+    p.add_argument("--hole-frac", type=float, default=0.0,
+                   help="fraction of valid depth pixels zeroed as "
+                        "dropout blobs")
     args = p.parse_args()
 
     import json
@@ -54,7 +62,11 @@ def main():
             poses.append((R, t))
         write_bop_scene(Path(args.out_root), f"{args.name}_obj{obj_id}",
                         {"verts": v, "faces": f}, obj_id=obj_id,
-                        poses=poses, diameter_mm=diam)
+                        poses=poses, diameter_mm=diam,
+                        occlude_prob=args.occlude_prob,
+                        depth_noise_mm=args.depth_noise_mm,
+                        hole_frac=args.hole_frac,
+                        seed=args.seed + obj_id)
         print(f"wrote {args.frames} frames for obj {obj_id}")
 
 

@@ -83,33 +83,49 @@ def rasterize_depth(verts_mm, faces, R, t_mm, w=W, h=H, max_patch=48):
     ok &= np.abs(det) > 1e-12
     small = ok & (span <= max_patch)
 
-    f = np.nonzero(small)[0]
-    if len(f):
-        P = int(span[f].max())
+    # Bucket the small faces by power-of-two bbox span so one oversized
+    # face can't size the whole batched grid: without this, a single
+    # 48-px face among ~10k 2-4-px faces allocates (F, 48, 48) barycentric
+    # buffers (~GBs on the 1-CPU host). float32 grid math: at ~1 m depth
+    # the zi quantization (~0.06 mm) is far below the 1 mm png unit.
+    flat = depth.reshape(-1)
+    bucket_lo = 0
+    P = 4
+    while bucket_lo <= max_patch:
+        sel = small & (span > bucket_lo) & (span <= P)
+        bucket_lo = P
+        P = min(P * 2, max_patch) if P < max_patch else max_patch + 1
+        f = np.nonzero(sel)[0]
+        if not len(f):
+            continue
+        Pb = int(span[f].max())
         af, bf, cf, detf, zf = a[f], b[f], c[f], det[f], tz[f]
         gx = (lo[f, 0][:, None, None]
-              + np.arange(P)[None, None, :]).astype(np.float64)
+              + np.arange(Pb)[None, None, :]).astype(np.float32)
         gy = (lo[f, 1][:, None, None]
-              + np.arange(P)[None, :, None]).astype(np.float64)
-        dxc = gx - cf[:, 0][:, None, None]
-        dyc = gy - cf[:, 1][:, None, None]
-        l1 = ((bf[:, 1] - cf[:, 1])[:, None, None] * dxc
-              + (cf[:, 0] - bf[:, 0])[:, None, None] * dyc
-              ) / detf[:, None, None]
-        l2 = ((cf[:, 1] - af[:, 1])[:, None, None] * dxc
-              + (af[:, 0] - cf[:, 0])[:, None, None] * dyc
-              ) / detf[:, None, None]
+              + np.arange(Pb)[None, :, None]).astype(np.float32)
+        dxc = gx - cf[:, 0][:, None, None].astype(np.float32)
+        dyc = gy - cf[:, 1][:, None, None].astype(np.float32)
+        detf = detf[:, None, None].astype(np.float32)
+        l1 = ((bf[:, 1] - cf[:, 1])[:, None, None].astype(np.float32) * dxc
+              + (cf[:, 0] - bf[:, 0])[:, None, None].astype(np.float32)
+              * dyc) / detf
+        l2 = ((cf[:, 1] - af[:, 1])[:, None, None].astype(np.float32) * dxc
+              + (af[:, 0] - cf[:, 0])[:, None, None].astype(np.float32)
+              * dyc) / detf
         l3 = 1 - l1 - l2
-        zi = 1.0 / (l1 / zf[:, 0][:, None, None]
-                    + l2 / zf[:, 1][:, None, None]
-                    + l3 / zf[:, 2][:, None, None])
-        xi = gx.astype(int) + np.zeros_like(zi, int)
-        yi = gy.astype(int) + np.zeros_like(zi, int)
+        zf32 = zf.astype(np.float32)
+        zi = 1.0 / (l1 / zf32[:, 0][:, None, None]
+                    + l2 / zf32[:, 1][:, None, None]
+                    + l3 / zf32[:, 2][:, None, None])
+        xi = gx.astype(int)
+        yi = gy.astype(int)
         use = ((l1 >= 0) & (l2 >= 0) & (l3 >= 0)
                & (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
                & np.isfinite(zi) & (zi > 0))
-        flat = depth.reshape(-1)
-        np.minimum.at(flat, yi[use] * w + xi[use], zi[use])
+        np.minimum.at(flat, (yi + np.zeros_like(zi, int))[use] * w
+                      + (xi + np.zeros_like(zi, int))[use],
+                      zi[use].astype(np.float64))
 
     big = np.nonzero(ok & ~small)[0]
     if len(big):
@@ -118,9 +134,83 @@ def rasterize_depth(verts_mm, faces, R, t_mm, w=W, h=H, max_patch=48):
     return depth
 
 
+def _box_mesh(size_mm):
+    """Axis-aligned box occluder mesh (12 triangles)."""
+    s = np.asarray(size_mm, float) / 2.0
+    v = np.array([[x, y, z] for x in (-s[0], s[0])
+                  for y in (-s[1], s[1]) for z in (-s[2], s[2])])
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+    return v, f
+
+
+def sample_occluder(rng, t_mm, diameter_mm):
+    """Random box occluder in front of / beside the target object.
+
+    Placed between camera and object (z offset -0.2..-0.6 diameters) with
+    a lateral offset that clips the silhouette edge — the regime the
+    reference's train_pbr frames live in (visib_fract often < 1,
+    reference dataset/object.py:107 filters on it).
+    """
+    size = rng.uniform(0.25, 0.7, 3) * diameter_mm
+    dz = rng.uniform(0.2, 0.6) * diameter_mm
+    z_t = float(np.asarray(t_mm, float)[2])
+    # lateral offset expressed at the OBJECT's depth plane, then scaled
+    # by the z ratio so the projected occluder really clips the
+    # silhouette (a nearer occluder projects its offset magnified)
+    ratio = max(z_t - dz, 1.0) / max(z_t, 1.0)
+    off = np.array([
+        rng.uniform(0.15, 0.55) * diameter_mm * rng.choice([-1, 1]) * ratio,
+        rng.uniform(-0.35, 0.35) * diameter_mm * ratio,
+        -dz])
+    ang = rng.uniform(0, np.pi)
+    ca, sa = np.cos(ang), np.sin(ang)
+    Rz = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1.0]])
+    return Rz, np.asarray(t_mm, float) + off, size
+
+
+def degrade_depth(depth, rng, noise_mm=0.0, hole_frac=0.0):
+    """Sensor-style degradation: per-pixel Gaussian noise + dropout blobs.
+
+    Models the two dominant depth-camera artifacts the clean z-buffer
+    lacks: measurement noise (~2-3 mm at 1 m for structured-light/ToF)
+    and missing-return holes (specular / grazing surfaces). hole_frac is
+    the target fraction of valid pixels zeroed by elliptical blobs.
+    """
+    d = depth.copy()
+    m = d > 0
+    if noise_mm > 0:
+        d[m] += rng.normal(0.0, noise_mm, int(m.sum()))
+    if hole_frac > 0 and m.any():
+        ys, xs = np.nonzero(m)
+        target = hole_frac * len(ys)
+        dropped = 0
+        gy, gx = np.mgrid[0:d.shape[0], 0:d.shape[1]]
+        while dropped < target:
+            i = rng.integers(len(ys))
+            ry, rx = rng.uniform(2, 9, 2)
+            blob = (((gy - ys[i]) / ry) ** 2
+                    + ((gx - xs[i]) / rx) ** 2) <= 1.0
+            hit = blob & (d > 0)
+            dropped += int(hit.sum())
+            d[hit] = 0.0
+    np.clip(d, 0.0, None, out=d)
+    return d
+
+
 def write_bop_scene(root: Path, name: str, mesh: dict, obj_id: int, poses,
-                    diameter_mm: float, mode="train_pbr"):
-    """Write a BOP tree with one frame per (R, t_mm) pose in `poses`."""
+                    diameter_mm: float, mode="train_pbr",
+                    occlude_prob: float = 0.0, depth_noise_mm: float = 0.0,
+                    hole_frac: float = 0.0, seed: int = 0):
+    """Write a BOP tree with one frame per (R, t_mm) pose in `poses`.
+
+    With occlude_prob/depth_noise_mm/hole_frac the frames carry the
+    adversarial structure of the reference's train_pbr data: box
+    occluders in front of the object (visib_fract < 1, computed exactly
+    from the amodal vs occluded z-buffers), Gaussian depth noise, and
+    dropout holes. Defaults keep the legacy clean-render behavior.
+    """
     from PIL import Image
 
     from .ply import write_ply_mesh
@@ -136,11 +226,29 @@ def write_bop_scene(root: Path, name: str, mesh: dict, obj_id: int, poses,
     (models / "models_info.json").write_text(
         json.dumps({str(obj_id): {"diameter": diameter_mm}}))
 
+    rng = np.random.default_rng(seed)
     cams, gts, infos = {}, {}, {}
     for fr, (R, t_mm) in enumerate(poses):
         depth = rasterize_depth(mesh["verts"], mesh["faces"], R, t_mm)
-        mask = (depth > 0).astype(np.uint8) * 255
-        d16 = np.clip(depth, 0, 65535).astype(np.uint16)
+        amodal = depth > 0
+        scene_depth = depth
+        if occlude_prob > 0 and rng.uniform() < occlude_prob:
+            Ro, to, size = sample_occluder(rng, t_mm, diameter_mm)
+            bv, bf = _box_mesh(size)
+            occ = rasterize_depth(bv, bf, Ro, to)
+            occ[occ == 0] = np.inf
+            scene_depth = np.minimum(
+                np.where(amodal, depth, np.inf), occ)
+            scene_depth[~np.isfinite(scene_depth)] = 0
+        visible = amodal & (scene_depth > 0) & (scene_depth >= depth - 1e-6)
+        visib_fract = (float(visible.sum()) / float(amodal.sum())
+                       if amodal.any() else 0.0)
+        if depth_noise_mm > 0 or hole_frac > 0:
+            scene_depth = degrade_depth(scene_depth, rng,
+                                        noise_mm=depth_noise_mm,
+                                        hole_frac=hole_frac)
+        mask = visible.astype(np.uint8) * 255
+        d16 = np.clip(scene_depth, 0, 65535).astype(np.uint16)
         Image.fromarray(d16).save(scene / "depth" / f"{fr:06d}.png")
         Image.fromarray(mask).save(
             scene / "mask_visib" / f"{fr:06d}_000000.png")
@@ -151,7 +259,7 @@ def write_bop_scene(root: Path, name: str, mesh: dict, obj_id: int, poses,
         gts[str(fr)] = [{"obj_id": obj_id,
                          "cam_R_m2c": np.asarray(R).ravel().tolist(),
                          "cam_t_m2c": np.asarray(t_mm).tolist()}]
-        infos[str(fr)] = [{"visib_fract": 1.0}]
+        infos[str(fr)] = [{"visib_fract": visib_fract}]
     (scene / "scene_camera.json").write_text(json.dumps(cams))
     (scene / "scene_gt.json").write_text(json.dumps(gts))
     (scene / "scene_gt_info.json").write_text(json.dumps(infos))

@@ -48,15 +48,20 @@ def wave_kernel_signature(evals, evecs, mass, valid, n_e: int = 16,
 
     WKS(v, e) = sum_k exp(-(e - log lambda_k)^2 / 2 sigma^2) phi_k(v)^2
     with n_e energies uniform in log-eigenvalue range and
-    sigma = sigma_scale * (e_max - e_min) / n_e. More discriminative at
-    high frequencies than the low-pass HKS; same intrinsic invariance.
-    Returns (V, n_e), zero on padded rows, each channel normalized to
-    mass-weighted mean 1 over valid vertices.
+    sigma = sigma_scale * (e_max - e_min) / n_e, clamped to at most
+    (e_max - e_min) / 5 so the [e_min + 2 sigma, e_max - 2 sigma]
+    window stays non-empty and ascending for small n_e (the Aubry
+    formulation assumes n_e ~ 100; at n_e = 16 the unclamped window
+    inverts and every channel collapses onto the mid-band). More
+    discriminative at high frequencies than the low-pass HKS; same
+    intrinsic invariance. Returns (V, n_e), zero on padded rows, each
+    channel normalized to mass-weighted mean 1 over valid vertices.
     """
     lam = jnp.clip(evals, 1e-6, None)
     log_l = jnp.log(lam)
     e_min, e_max = log_l[1], log_l[-1]
-    sigma = jnp.maximum(sigma_scale * (e_max - e_min) / n_e, 1e-3)
+    delta = e_max - e_min
+    sigma = jnp.clip(sigma_scale * delta / n_e, 1e-3, delta / 5.0)
     e = jnp.linspace(e_min + 2.0 * sigma, e_max - 2.0 * sigma, n_e)
     g = jnp.exp(-0.5 * ((e[:, None] - log_l[None, :]) / sigma) ** 2)
     g = g / jnp.maximum(g.sum(-1, keepdims=True), 1e-12)   # (E, K)

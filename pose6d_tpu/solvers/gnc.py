@@ -63,20 +63,28 @@ def gnc_tls_pose(src, dst, valid, noise_bound: float = 0.05,
         R0, t0 = kabsch_umeyama(src, dst, v)
     else:
         logits = jnp.where(valid, 0.0, -jnp.inf)
-        n_blocks = max(init_hypotheses // init_block, 1)
+        # Ceil-division so the drawn hypothesis count is never BELOW the
+        # requested one (the 1-(1-p^3)^H coverage math quoted above is in
+        # terms of init_hypotheses); the overshoot rows of the last block
+        # are masked out of the argmax.
+        n_blocks = -(-init_hypotheses // init_block)
         samples = jax.random.categorical(
             key, logits, shape=(n_blocks, init_block, 3))
+        live = (jnp.arange(n_blocks * init_block)
+                < init_hypotheses).reshape(n_blocks, init_block)
 
-        def score_block(block_samples):
+        def score_block(args):
+            block_samples, block_live = args
             Rs, ts = jax.vmap(
                 lambda i: kabsch_umeyama(src[i], dst[i]))(block_samples)
             pred = jnp.einsum("hij,nj->hni", Rs, src) + ts[:, None, :]
             d2 = jnp.sum((pred - dst[None]) ** 2, axis=-1)
             counts = jnp.sum((d2 < eps2) * v[None], axis=1)
+            counts = jnp.where(block_live, counts, -1.0)
             b = jnp.argmax(counts)
             return Rs[b], ts[b], counts[b]
 
-        Rs, ts, counts = jax.lax.map(score_block, samples)
+        Rs, ts, counts = jax.lax.map(score_block, (samples, live))
         best = jnp.argmax(counts)
         R0, t0 = Rs[best], ts[best]
     r2_0 = transform_residuals(R0, t0, src, dst) ** 2

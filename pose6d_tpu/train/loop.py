@@ -46,7 +46,27 @@ def build_train_dataset(cfg):
     return ds[0] if len(ds) == 1 else ConcatDataset(ds)
 
 
-def load_pretrained_params(path: str, template):
+def _prefix_input_rows(model_cfg):
+    """Row counts of every proper prefix of the model's input channels.
+
+    Channel order is fixed xyz -> hks -> wks (models/dpfm.py branch()),
+    so a narrower checkpoint can only be widened function-preservingly
+    when its first_lin input rows equal one of these prefix widths —
+    i.e. the new channels are appended at the END. Any other mismatch
+    (e.g. an hks-trained checkpoint into an xyz_hks model, where xyz
+    comes FIRST) would silently misalign channels.
+    """
+    sizes = []
+    if "xyz" in model_cfg.input_features:
+        sizes.append(3)
+    if "hks" in model_cfg.input_features:
+        sizes.append(model_cfg.n_hks)
+    if "wks" in model_cfg.input_features:
+        sizes.append(model_cfg.n_wks)
+    return {sum(sizes[:i]) for i in range(1, len(sizes))}
+
+
+def load_pretrained_params(path: str, template, model_cfg=None):
     if str(path).endswith(".pt"):
         from ..models.port_weights import load_reference_checkpoint
         loaded = load_reference_checkpoint(path)
@@ -56,14 +76,29 @@ def load_pretrained_params(path: str, template):
     # Function-preserving input widening: an xyz-trained checkpoint
     # warm-starts an input_features="xyz_hks" model by zero-extending
     # first_lin's input rows (port_weights.extend_first_lin_input) —
-    # the HKS channels start contributing exactly 0.
+    # the HKS channels start contributing exactly 0. Only allowed when
+    # the loaded rows match a prefix of the target channel layout;
+    # otherwise the shape mismatch surfaces as an error downstream
+    # instead of silently misaligning channels.
     try:
         tk = template["params"]["feature_extractor"]["first_lin"]["kernel"]
         lk = loaded["params"]["feature_extractor"]["first_lin"]["kernel"]
         if lk.shape[0] < tk.shape[0] and lk.shape[1] == tk.shape[1]:
-            from ..models.port_weights import extend_first_lin_input
-            loaded = extend_first_lin_input(loaded,
-                                            tk.shape[0] - lk.shape[0])
+            allowed = (_prefix_input_rows(model_cfg)
+                       if model_cfg is not None else {lk.shape[0]})
+            if lk.shape[0] in allowed:
+                from ..models.port_weights import extend_first_lin_input
+                loaded = extend_first_lin_input(loaded,
+                                                tk.shape[0] - lk.shape[0])
+                print(f"pretrained: widened first_lin input "
+                      f"{lk.shape[0]} -> {tk.shape[0]} rows "
+                      f"(appended channels zero-initialized)")
+            else:
+                raise ValueError(
+                    f"pretrained checkpoint has {lk.shape[0]} input rows; "
+                    f"model expects {tk.shape[0]} and {lk.shape[0]} is not "
+                    f"a prefix of its channel layout "
+                    f"({model_cfg.input_features!r}) — refusing to widen")
     except (KeyError, TypeError):
         pass
     return loaded
@@ -107,7 +142,8 @@ def train(cfg, dataset=None, max_steps: int | None = None,
     except RuntimeError:
         state = init_fn(key, example)
     if tcfg.pretrained and str(tcfg.pretrained).lower() != "none":
-        params = load_pretrained_params(tcfg.pretrained, state.params)
+        params = load_pretrained_params(tcfg.pretrained, state.params,
+                                        model_cfg=cfg.model)
         state = state._replace(params=params)
 
     logger = MetricsLogger(cfg.logging_dir, cfg.comment,

@@ -342,3 +342,23 @@ class TestHKSInputFeatures:
         # first_lin consumed n_hks + n_wks = 32 channels
         k = params["params"]["feature_extractor"]["first_lin"]["kernel"]
         assert k.shape[0] == 32
+
+    def test_wks_channels_distinct_at_small_n_e(self):
+        """Regression (advisor r3): with n_e=16 the unclamped sigma made
+        the energy window DESCENDING and collapsed every channel onto
+        the mid-band. The clamp must keep channels band-passed: energy
+        centers ascend and the first/last channels are far from
+        duplicates."""
+        from pose6d_tpu.ops.hks import wave_kernel_signature
+        rng = np.random.default_rng(7)
+        s = make_shape(rng, 128, 100)
+        h = np.asarray(wave_kernel_signature(
+            s["evals"], s["evecs"], s["mass"], s["valid"], n_e=16))
+        valid = np.asarray(s["valid"])
+        hv = h[valid]
+        corr = np.corrcoef(hv[:, 0], hv[:, -1])[0, 1]
+        assert corr < 0.9, f"first/last WKS channels collapsed (r={corr})"
+        # consecutive channels differ too (no wide-Gaussian smearing)
+        for i in range(0, 15, 5):
+            r = np.corrcoef(hv[:, i], hv[:, i + 1])[0, 1]
+            assert r < 0.99999

@@ -332,3 +332,34 @@ class TestPretrainedAutoWiden:
         same = load_pretrained_params(str(path), p_xyz)
         k = same["params"]["feature_extractor"]["first_lin"]["kernel"]
         assert k.shape == (3, jnp.asarray(k).shape[1])
+
+    def test_refuses_misaligned_widening(self, tmp_path):
+        """An hks-trained checkpoint must NOT silently widen into an
+        xyz_hks model: hks rows would land on the xyz channels (xyz is
+        FIRST in the fixed channel order) — load_pretrained_params
+        raises when the loaded rows aren't a prefix of the layout."""
+        import jax
+        import numpy as np
+        import pytest
+        from pose6d_tpu.models import DPFMConfig, DPFMNet
+        from pose6d_tpu.train.checkpoint import save_params
+        from pose6d_tpu.train.loop import load_pretrained_params
+        from tests.test_models import make_shape
+        rng = np.random.default_rng(0)
+        cad, pc = make_shape(rng, 96, 90), make_shape(rng, 48, 45)
+        hks_only = DPFMNet(DPFMConfig(input_features="hks", n_hks=16))
+        p_hks = hks_only.init(jax.random.PRNGKey(0), cad, pc)
+        path = tmp_path / "hks.msgpack"
+        save_params(path, p_hks)
+        target_cfg = DPFMConfig(input_features="xyz_hks", n_hks=16)
+        tmpl = DPFMNet(target_cfg).init(jax.random.PRNGKey(1), cad, pc)
+        with pytest.raises(ValueError, match="refusing to widen"):
+            load_pretrained_params(str(path), tmpl, model_cfg=target_cfg)
+        # xyz (3 rows) IS a prefix of xyz_hks -> widening allowed
+        xyz = DPFMNet(DPFMConfig(input_features="xyz"))
+        p_xyz = xyz.init(jax.random.PRNGKey(2), cad, pc)
+        save_params(tmp_path / "xyz.msgpack", p_xyz)
+        loaded = load_pretrained_params(str(tmp_path / "xyz.msgpack"),
+                                        tmpl, model_cfg=target_cfg)
+        k = loaded["params"]["feature_extractor"]["first_lin"]["kernel"]
+        assert k.shape[0] == 19
