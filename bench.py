@@ -202,15 +202,74 @@ def main(profile_dir: str | None = None):
     fps = B / dt
 
     if profile_dir:
-        # one traced steady-state iteration + stage timings
-        # (utils/profiling.py); open the trace in Perfetto/XProf
+        # One traced steady-state iteration of the fused pipeline, plus
+        # a per-stage wall-clock breakdown. The production pipeline is
+        # ONE jit (XLA fuses across stage boundaries), so the breakdown
+        # runs each stage as its own jitted+synced program — stage sums
+        # exceed the fused time by design; the ratio between them is the
+        # measured fusion win. Open the trace in Perfetto/XProf.
         from pose6d_tpu.utils.profiling import StageTimer, profile_trace
         timer = StageTimer()
         with profile_trace(profile_dir):
-            with timer("pipeline_steady_state"):
+            with timer("pipeline_fused", sync_value=True):
                 jax.block_until_ready(
                     pipeline(batch, fb, jax.random.PRNGKey(99)))
-        summary = {"batch": B, "frames_per_sec": round(B / dt, 2),
+
+        fwd = jax.jit(jax.vmap(lambda c, p: model.apply(params, c, p)))
+        solver = jax.jit(jax.vmap(
+            lambda C, c, p, d: spatial_filtering_fmap2pointmap(
+                C, c["evecs"][:, :n_fmap], p["evecs"][:, :n_fmap],
+                c["xyz"], p["xyz"], c["valid"], p["valid"], d)))
+        ransac_b = jax.jit(jax.vmap(
+            lambda k, s, d2, v, d: ransac_pose(
+                k, s, d2, v, threshold=0.05 * d,
+                n_hypotheses=4096, hyp_block=512)))
+        icp_b = jax.jit(jax.vmap(
+            lambda c, p, R, t, d: icp_point2point(
+                c["xyz"], c["valid"], p["xyz"], p["valid"], R, t,
+                max_corr_dist=0.2 * d, max_iter=30)))
+        disamb_b = jax.jit(jax.vmap(
+            lambda c, p, R, t, d, K, z, m: disambiguate_pose_depth(
+                c["xyz"], c["valid"], p["xyz"], p["valid"],
+                R, t, d, K, z, m)))
+        keys = jax.random.split(jax.random.PRNGKey(99), B)
+        # warm-up compiles outside the timers
+        o = fwd(batch["cad"], batch["pc"])
+        prs, pvs = solver(o["C"], batch["cad"], batch["pc"],
+                          batch["diam_cad"])
+        src = jnp.take_along_axis(batch["cad"]["xyz"],
+                                  prs[:, 0][..., None], axis=1)
+        dst = jnp.take_along_axis(batch["pc"]["xyz"],
+                                  prs[:, 1][..., None], axis=1)
+        po = ransac_b(keys, src, dst, pvs, batch["diam_cad"])
+        ic = icp_b(batch["cad"], batch["pc"], po["R"], po["t"],
+                   batch["diam_cad"])
+        jax.block_until_ready(disamb_b(
+            batch["cad"], batch["pc"], ic["R"], ic["t"],
+            batch["diam_cad"], fb["K"], fb["obs_z"], fb["mask"]))
+        for _ in range(3):
+            with timer("1_forward", sync_value=True):
+                o = jax.block_until_ready(fwd(batch["cad"], batch["pc"]))
+            with timer("2_spatial_filter", sync_value=True):
+                prs, pvs = jax.block_until_ready(solver(
+                    o["C"], batch["cad"], batch["pc"], batch["diam_cad"]))
+            src = jnp.take_along_axis(batch["cad"]["xyz"],
+                                      prs[:, 0][..., None], axis=1)
+            dst = jnp.take_along_axis(batch["pc"]["xyz"],
+                                      prs[:, 1][..., None], axis=1)
+            with timer("3_ransac", sync_value=True):
+                po = jax.block_until_ready(ransac_b(
+                    keys, src, dst, pvs, batch["diam_cad"]))
+            with timer("4_icp", sync_value=True):
+                ic = jax.block_until_ready(icp_b(
+                    batch["cad"], batch["pc"], po["R"], po["t"],
+                    batch["diam_cad"]))
+            with timer("5_disambiguate", sync_value=True):
+                jax.block_until_ready(disamb_b(
+                    batch["cad"], batch["pc"], ic["R"], ic["t"],
+                    batch["diam_cad"], fb["K"], fb["obs_z"], fb["mask"]))
+        summary = {"batch": B, "platform": jax.devices()[0].platform,
+                   "frames_per_sec": round(B / dt, 2),
                    "stages": timer.summary()}
         Path(profile_dir).mkdir(parents=True, exist_ok=True)
         (Path(profile_dir) / "stage_summary.json").write_text(
