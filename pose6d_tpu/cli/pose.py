@@ -25,16 +25,23 @@ def main():
     p.add_argument("--suffix", default="",
                    help="append to the results_poses_* dir name "
                         "(e.g. _disamb for A/B trees)")
+    p.add_argument("--batch", type=int, default=8,
+                   help="instances per device chunk (vmap width); "
+                        "lower if HBM-tight with --disambiguate")
+    p.add_argument("--hypotheses", type=int, default=131072,
+                   help="RANSAC trial budget (reference: 80k draws + "
+                        "4M checks; lower for CPU fallback runs)")
     args = p.parse_args()
     from .. import runtime
     runtime.configure()
     from ..train.pose_stage import run_pose_stage
     run_pose_stage(args.results_dir, args.out_dir, solver=args.solver,
                    ransac_threshold=args.ransac_threshold,
+                   ransac_hypotheses=args.hypotheses,
                    gnc_noise_bound=args.gnc_noise_bound,
                    icp_target=args.icp_target, write_ply=not args.no_ply,
                    disambiguate=args.disambiguate,
-                   name_suffix=args.suffix)
+                   name_suffix=args.suffix, batch=args.batch)
 
 
 if __name__ == "__main__":
