@@ -17,6 +17,12 @@ def main():
                         "for the pose stage (reference eval.py:110-120 "
                         "always saves; opt-in here because the npzs carry "
                         "full bases and are large)")
+    p.add_argument("--eval-names", nargs="+", default=None,
+                   help="sweep several eval sets (render_data_name "
+                        "values) in ONE process, reusing the compiled "
+                        "programs (compile dominates short evals on a "
+                        "fresh process); results go to "
+                        "<save_results>/<name>/")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="dump a jax.profiler trace of the eval loop")
     args = p.parse_args()
@@ -24,23 +30,45 @@ def main():
     import jax
 
     from ..models import DPFMNet
-    from ..train.eval_loop import build_eval_dataset, evaluate
+    from ..train.eval_loop import (build_eval_dataset, evaluate,
+                                   make_eval_fns)
     from ..train.loop import load_pretrained_params
 
-    ds = build_eval_dataset(cfg)
     model = DPFMNet(cfg.model)
+    if args.eval_names:
+        import dataclasses
+        from pathlib import Path
+        cfgs = [dataclasses.replace(cfg, eval_dataset=dataclasses.replace(
+            cfg.eval_dataset, render_data_name=n)) for n in args.eval_names]
+    else:
+        cfgs = [cfg]
+    ds = build_eval_dataset(cfgs[0])
     cad, pc, _ = ds[0]
     from ..data.pipeline import make_sample
     s = make_sample(cad, pc, _)
     template = model.init(jax.random.PRNGKey(0), s["cad"], s["pc"])
     params = load_pretrained_params(args.weights, template)
-    save_dir = cfg.save_results if args.save_results else None
+    fns = make_eval_fns(model, cfg.eval.solver == "spatial_filtering")
+
+    def run_all():
+        for i, c in enumerate(cfgs):
+            d = ds if i == 0 else build_eval_dataset(c)
+            if args.eval_names:
+                name = c.eval_dataset.render_data_name
+                print(f"=== {name}")
+                save_dir = (Path(cfg.save_results) / name
+                            if args.save_results else None)
+            else:
+                save_dir = cfg.save_results if args.save_results else None
+            evaluate(c, params, dataset=d, save_dir=save_dir,
+                     eval_fns=fns)
+
     if args.profile:
         from ..utils.profiling import profile_trace
         with profile_trace(args.profile):
-            evaluate(cfg, params, dataset=ds, save_dir=save_dir)
+            run_all()
     else:
-        evaluate(cfg, params, dataset=ds, save_dir=save_dir)
+        run_all()
 
 
 if __name__ == "__main__":

@@ -22,11 +22,16 @@ EVAL_PREFIX=${5:-synth_eval56}
 
 cd "$(dirname "$0")/.."
 mkdir -p "$OUT/all_results"
+# one process sweeps all five sets, reusing the compiled programs
+# (cli/eval.py --eval-names; a fresh process per set pays ~5 min of
+# compile each on the tunneled chip)
+env JAX_PLATFORMS=$PLATFORM python -m pose6d_tpu.cli.eval \
+  --config $CONFIG --weights "$PARAMS" --save-results \
+  --eval-names ${EVAL_PREFIX}_obj5 ${EVAL_PREFIX}_obj6 \
+    ${EVAL_PREFIX}_obj8 ${EVAL_PREFIX}_obj11 ${EVAL_PREFIX}_obj12 \
+  save_results="$OUT"
 for obj in 5 6 8 11 12; do
-  env JAX_PLATFORMS=$PLATFORM python -m pose6d_tpu.cli.eval \
-    --config $CONFIG --weights "$PARAMS" --save-results \
-    eval_dataset.render_data_name=${EVAL_PREFIX}_obj$obj \
-    save_results="$OUT/obj$obj"
+  mv "$OUT/${EVAL_PREFIX}_obj$obj" "$OUT/obj$obj"
   # merge into one dir with disjoint names for the joint pose stage
   for f in "$OUT/obj$obj"/result_*.npz; do
     b=$(basename "$f" .npz)                   # result_000017
