@@ -26,6 +26,13 @@ def main():
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="dump a jax.profiler trace of the eval loop")
     args = p.parse_args()
+    # argparse's greedy nargs='+' swallows trailing positional overrides
+    # ("--eval-names a b train.lr=1e-3"); reroute anything with '=' so
+    # both orderings work instead of silently evaluating a fake dataset
+    if args.eval_names:
+        moved = [n for n in args.eval_names if "=" in n]
+        args.eval_names = [n for n in args.eval_names if "=" not in n]
+        args.overrides = list(args.overrides) + moved
     cfg = load(args)
     import jax
 

@@ -71,6 +71,12 @@ class EvalConfig:
     icp_threshold: float = 0.2
     icp_target: str = "gt_cad"  # reference protocol (test_RANSAC.py:436-439)
     batch_size: int = 8
+    # ZoomOut spectral upsampling of the predicted map at eval time
+    # (solvers/zoomout.py): grow C from n_fmap to zoomout_k using the
+    # cached k_eig eigenvectors. 0 = off (reference parity).
+    zoomout_k: int = 0
+    zoomout_step: int = 4
+    zoomout_gate_tau: float = 0.0  # >0: consistency-gated refit rows
 
 
 @dataclasses.dataclass

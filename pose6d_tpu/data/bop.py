@@ -46,6 +46,10 @@ class BOPSceneDataset:
             self.entries = [
                 {k: (Path(v) if k != "seg" else [Path(p) for p in v])
                  for k, v in e.items()} for e in entries]
+            # the cached list is always the full walk; the limit is a
+            # per-run view, so apply it after loading too
+            if self.num_samples > 0:
+                self.entries = self.entries[:self.num_samples]
             return
         root = self.data_root / self.render_data_name / self.mode
         self.entries = []
@@ -80,7 +84,9 @@ class BOPSceneDataset:
             self.entries.append(entry)
             if self.num_samples > 0 and len(self.entries) >= self.num_samples:
                 break
-        if cache_file is not None:
+        # persist only full walks: a truncated first run must not poison
+        # the shared scene list for later unlimited runs
+        if cache_file is not None and self.num_samples <= 0:
             ser = [{k: (str(v) if k != "seg" else [str(p) for p in v])
                     for k, v in e.items()} for e in self.entries]
             cache_file.write_text(json.dumps(ser))

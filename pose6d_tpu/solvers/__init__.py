@@ -8,3 +8,4 @@ from .registry import choose_fmap2pointmap_solver, choose_pose_solver  # noqa: F
 from .multistart import disambiguate_pose, flip_hypotheses  # noqa: F401
 from .multistart import disambiguate_pose_depth  # noqa: F401
 from .verify_pose import depth_consistency_score  # noqa: F401
+from .zoomout import zoomout_refine  # noqa: F401

@@ -7,6 +7,7 @@ dumps, eval.py:110-120) for the pose stage (cli/pose.py) to consume.
 """
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 
 import jax
@@ -65,6 +66,18 @@ def make_eval_fns(model, use_spatial: bool):
     return fwd, solver, ir_fn
 
 
+@functools.lru_cache(maxsize=8)
+def _zoomout_fn(zk: int, step: int, gate_tau: float):
+    """Batched ZoomOut refinement, cached so repeated evaluate() calls
+    (multi-set sweeps, checkpoint probes) reuse one compiled program."""
+    from ..solvers.zoomout import zoomout_refine
+
+    return jax.jit(jax.vmap(
+        lambda C, ex, ey, vx, vy, cx, px, d: zoomout_refine(
+            C, ex[:, :zk], ey[:, :zk], vx, vy, step=step,
+            cad_xyz=cx, pc_xyz=px, diam=d, gate_tau=gate_tau)))
+
+
 def evaluate(cfg, params, dataset=None, save_dir=None,
              sample_kw: dict | None = None, eval_fns=None):
     """Returns (mean_ir, per_object_ir dict); writes result npzs.
@@ -92,13 +105,26 @@ def evaluate(cfg, params, dataset=None, save_dir=None,
     if save_dir:
         save_dir.mkdir(parents=True, exist_ok=True)
 
+    # eval-time ZoomOut: refine the predicted map into a wider cached
+    # basis before solving for correspondences (off by default)
+    zk = getattr(cfg.eval, "zoomout_k", 0)
+    k_cols = zk if zk else n_fmap
+    refine = (_zoomout_fn(zk, cfg.eval.zoomout_step,
+                          cfg.eval.zoomout_gate_tau) if zk else None)
+
     all_ir, per_obj = [], {}
     idx = 0
     for batch in loader:
         out = fwd(params, batch["cad"], batch["pc"])
+        C_use = out["C"]
+        if refine is not None:
+            C_use = refine(C_use, batch["cad"]["evecs"],
+                           batch["pc"]["evecs"], batch["cad"]["valid"],
+                           batch["pc"]["valid"], batch["cad"]["xyz"],
+                           batch["pc"]["xyz"], batch["diam_cad"])
         pairs, pvalid = solver(
-            out["C"], batch["cad"]["evecs"][:, :, :n_fmap],
-            batch["pc"]["evecs"][:, :, :n_fmap],
+            C_use, batch["cad"]["evecs"][:, :, :k_cols],
+            batch["pc"]["evecs"][:, :, :k_cols],
             batch["cad"]["xyz"], batch["pc"]["xyz"],
             batch["cad"]["valid"], batch["pc"]["valid"],
             batch["diam_cad"])

@@ -27,9 +27,9 @@ mkdir -p "$OUT/all_results"
 # compile each on the tunneled chip)
 env JAX_PLATFORMS=$PLATFORM python -m pose6d_tpu.cli.eval \
   --config $CONFIG --weights "$PARAMS" --save-results \
+  save_results="$OUT" \
   --eval-names ${EVAL_PREFIX}_obj5 ${EVAL_PREFIX}_obj6 \
-    ${EVAL_PREFIX}_obj8 ${EVAL_PREFIX}_obj11 ${EVAL_PREFIX}_obj12 \
-  save_results="$OUT"
+    ${EVAL_PREFIX}_obj8 ${EVAL_PREFIX}_obj11 ${EVAL_PREFIX}_obj12
 for obj in 5 6 8 11 12; do
   mv "$OUT/${EVAL_PREFIX}_obj$obj" "$OUT/obj$obj"
   # merge into one dir with disjoint names for the joint pose stage

@@ -87,6 +87,34 @@ class TestBOPDataset:
         assert frame["depth"].max() > 0
         assert frame["scene_gt"][0]["obj_id"] == 7
 
+    def test_num_samples_view_and_cache(self, small_mesh, tmp_path):
+        """num_samples is a per-run view: it truncates both fresh walks
+        and cached scene lists, and a limited run never writes (poisons)
+        the shared scene_list.json."""
+        from scipy.spatial.transform import Rotation
+        from pose6d_tpu.data.bop import BOPSceneDataset
+        root = tmp_path / "bop"
+        R = Rotation.from_rotvec([0.1, 0.2, -0.3]).as_matrix()
+        diam = float(np.linalg.norm(
+            small_mesh["verts"].max(0) - small_mesh["verts"].min(0)))
+        write_bop_scene(root, "synth", small_mesh, obj_id=7, R=R,
+                        t_mm=np.array([0.0, 0.0, 600.0]),
+                        diameter_mm=diam, n_frames=3)
+        cache = tmp_path / "cache"
+        cache.mkdir()
+        listing = cache / "synth" / "train_pbr" / "scene_list.json"
+        # limited first: view of 2, and no cache file written
+        assert len(BOPSceneDataset(root, "synth", num_samples=2,
+                                   cache_dir=cache)) == 2
+        assert not listing.exists()
+        # full walk writes the cache
+        assert len(BOPSceneDataset(root, "synth", cache_dir=cache)) == 3
+        assert listing.exists()
+        # limit applies to the cached list too; cache stays full
+        assert len(BOPSceneDataset(root, "synth", num_samples=2,
+                                   cache_dir=cache)) == 2
+        assert len(BOPSceneDataset(root, "synth", cache_dir=cache)) == 3
+
     def test_object_dataset_end_to_end(self, bop_root, tmp_path):
         root, R, t, diam = bop_root
         from pose6d_tpu.data.dataset import BOPObjectDataset
