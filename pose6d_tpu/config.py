@@ -77,6 +77,27 @@ class EvalConfig:
     zoomout_k: int = 0
     zoomout_step: int = 4
     zoomout_gate_tau: float = 0.0  # >0: consistency-gated refit rows
+    # rotation test-time augmentation (train/eval_loop.py): forward a
+    # fixed bank of rigid rotations of the cloud (spectral cache is
+    # rigid-invariant) and keep, per sample, the rotation with the most
+    # spatial-filter survivors. 0/1 = off. Targets the measured
+    # rotation-generalization failure of the xyz encoder
+    # (docs/diagnostics/). Requires solver=spatial_filtering.
+    tta_rotations: int = 0
+    # hysteresis for candidate selection (zoomout/tta): a non-base
+    # candidate must beat the base by this fraction — near-ties are
+    # solver noise, not evidence (same reasoning as the
+    # flip-disambiguation margin, solvers/multistart.py)
+    select_margin: float = 0.15
+    # candidate-selection signal: "depth" scores each candidate map by
+    # a cheap RANSAC pose + depth-render consistency (the evidence
+    # symmetry cannot fake — spatial-filter survivor counts are blind
+    # to globally flipped-but-consistent maps, measured obj12
+    # 0.094->0.070 under survivor-selected TTA); "survivors" is the
+    # cheaper count-based signal. Depth falls back to survivors on
+    # frames without intrinsics.
+    select_by: str = "depth"
+    select_hypotheses: int = 2048  # RANSAC budget per candidate score
 
 
 @dataclasses.dataclass

@@ -98,6 +98,10 @@ class BOPObjectDataset:
         if cache_file is not None and cache_file.exists():
             self.mapping_list = [tuple(x) for x in
                                  np.load(cache_file)["mapping_list"]]
+            # the cached mapping covers the full scene walk; respect a
+            # num_samples-truncated scene view (data/bop.py)
+            n = len(self.scenes)
+            self.mapping_list = [m for m in self.mapping_list if m[0] < n]
             return
         self.mapping_list = []
         for i in range(len(self.scenes)):
@@ -111,7 +115,8 @@ class BOPObjectDataset:
                     if gts[j]["obj_id"] not in self.obj_take:
                         continue
                 self.mapping_list.append((i, j))
-        if cache_file is not None:
+        # persist only full walks (see data/bop.py scene-list rationale)
+        if cache_file is not None and self.scenes.num_samples <= 0:
             np.savez(cache_file,
                      mapping_list=np.asarray(self.mapping_list, np.int64))
 

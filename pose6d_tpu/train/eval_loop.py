@@ -11,6 +11,7 @@ import functools
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.dataset import BOPObjectDataset
@@ -66,6 +67,56 @@ def make_eval_fns(model, use_spatial: bool):
     return fwd, solver, ir_fn
 
 
+def _tta_rotation_bank(n: int):
+    """First n of a fixed coarse SO(3) bank: identity, 180-degree flips
+    about x/y/z, then +-90-degree turns about z/y/x (max 10)."""
+    def aa(ax, ang):
+        x, y, z = ax
+        K = np.array([[0., -z, y], [z, 0., -x], [-y, x, 0.]])
+        return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+    mats = [np.eye(3)]
+    for ax in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+        mats.append(aa(ax, np.pi))
+    for ax in ((0, 0, 1), (0, 1, 0), (1, 0, 0)):
+        mats.append(aa(ax, np.pi / 2))
+        mats.append(aa(ax, -np.pi / 2))
+    return np.stack(mats[:n]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=1)
+def _rotate_pc_fn():
+    """Rigidly rotate each cloud about its valid-point centroid; padded
+    rows stay zero. Rigid motion keeps every cached spectral quantity
+    valid (see train/augment.py)."""
+    def rot(xyz, valid, R3):
+        vf = valid.astype(xyz.dtype)[:, None]
+        c = jnp.sum(xyz * vf, 0) / jnp.maximum(jnp.sum(vf), 1.0)
+        return jnp.where(vf > 0, (xyz - c) @ R3.T + c, 0.0)
+    return jax.jit(jax.vmap(rot, in_axes=(0, 0, None)))
+
+
+@functools.lru_cache(maxsize=4)
+def _depth_score_fn(hyps: int):
+    """Candidate-map scorer: cheap RANSAC pose from the candidate's
+    correspondences, then depth-render consistency against the splatted
+    observed depth (solvers/verify_pose.py). Lower is better. This is
+    the flip-disambiguation evidence moved up to map selection."""
+    from ..solvers import ransac_pose
+    from ..solvers.verify_pose import depth_consistency_score
+
+    def one(key, cad_xyz, cad_valid, pc_xyz, pairs, pvalid, diam, K,
+            obs_z, obs_mask):
+        src = cad_xyz[pairs[0]]
+        dst = pc_xyz[pairs[1]]
+        est = ransac_pose(key, src, dst, pvalid, threshold=0.05,
+                          n_hypotheses=hyps)
+        return depth_consistency_score(cad_xyz, cad_valid, est["R"],
+                                       est["t"], K, obs_z, obs_mask,
+                                       diam)
+
+    return jax.jit(jax.vmap(one))
+
+
 @functools.lru_cache(maxsize=8)
 def _zoomout_fn(zk: int, step: int, gate_tau: float):
     """Batched ZoomOut refinement, cached so repeated evaluate() calls
@@ -112,22 +163,109 @@ def evaluate(cfg, params, dataset=None, save_dir=None,
     refine = (_zoomout_fn(zk, cfg.eval.zoomout_step,
                           cfg.eval.zoomout_gate_tau) if zk else None)
 
+    tta = getattr(cfg.eval, "tta_rotations", 0)
+    if (tta > 1 or refine is not None) and not use_spatial:
+        raise ValueError("eval.tta_rotations / eval.zoomout_k need the "
+                         "spatial_filtering solver: its survivor count "
+                         "is the candidate-selection signal")
+    rot_bank = _tta_rotation_bank(tta) if tta > 1 else None
+
     all_ir, per_obj = [], {}
     idx = 0
     for batch in loader:
-        out = fwd(params, batch["cad"], batch["pc"])
-        C_use = out["C"]
-        if refine is not None:
-            C_use = refine(C_use, batch["cad"]["evecs"],
-                           batch["pc"]["evecs"], batch["cad"]["valid"],
-                           batch["pc"]["valid"], batch["cad"]["xyz"],
-                           batch["pc"]["xyz"], batch["diam_cad"])
-        pairs, pvalid = solver(
-            C_use, batch["cad"]["evecs"][:, :, :k_cols],
-            batch["pc"]["evecs"][:, :, :k_cols],
-            batch["cad"]["xyz"], batch["pc"]["xyz"],
-            batch["cad"]["valid"], batch["pc"]["valid"],
-            batch["diam_cad"])
+        def candidates(pc):
+            """(out, pairs, pvalid) per candidate map for this cloud:
+            the raw prediction, plus its ZoomOut upsampling when on.
+            Selection (not replacement) keeps the refinement from
+            hurting samples whose base map is already strong —
+            measured: zk=64 gated moved obj12 0.094->0.154 but obj8
+            0.297->0.243 as a replacement."""
+            out = fwd(params, batch["cad"], pc)
+            cands = [(out, *solver(
+                out["C"], batch["cad"]["evecs"][:, :, :n_fmap],
+                pc["evecs"][:, :, :n_fmap],
+                batch["cad"]["xyz"], pc["xyz"],
+                batch["cad"]["valid"], pc["valid"],
+                batch["diam_cad"]))]
+            if refine is not None:
+                C_r = refine(out["C"], batch["cad"]["evecs"],
+                             pc["evecs"], batch["cad"]["valid"],
+                             pc["valid"], batch["cad"]["xyz"],
+                             pc["xyz"], batch["diam_cad"])
+                cands.append((out, *solver(
+                    C_r, batch["cad"]["evecs"][:, :, :k_cols],
+                    pc["evecs"][:, :, :k_cols],
+                    batch["cad"]["xyz"], pc["xyz"],
+                    batch["cad"]["valid"], pc["valid"],
+                    batch["diam_cad"])))
+            return cands
+
+        # per-sample argmax of spatial-filter survivors over all
+        # candidates; the identity/base candidate runs first and wins
+        # ties
+        cand_list = candidates(batch["pc"])
+        if rot_bank is not None:
+            rotate = _rotate_pc_fn()
+            for R3 in rot_bank[1:]:  # bank[0] is the identity
+                pc_r = dict(batch["pc"])
+                pc_r["xyz"] = rotate(batch["pc"]["xyz"],
+                                     batch["pc"]["valid"],
+                                     jnp.asarray(R3))
+                cand_list.extend(candidates(pc_r))
+        if len(cand_list) == 1:
+            out, pairs, pvalid = cand_list[0]
+        else:
+            # score every candidate (lower = better), then take the
+            # per-sample winner; the base candidate is scored without
+            # the hysteresis handicap and wins argmin ties
+            margin = 1.0 + getattr(cfg.eval, "select_margin", 0.15)
+            select_by = getattr(cfg.eval, "select_by", "depth")
+            Ks = np.asarray(batch["K"])
+            hws = np.asarray(batch["im_hw"])
+            use_depth = (select_by == "depth"
+                         and float(np.abs(Ks).sum(axis=(1, 2)).min()) > 0
+                         and bool((hws == hws[0]).all()))
+            if use_depth:
+                # splat the observed clouds once per batch — shared
+                # evidence for every candidate
+                from .pose_stage import _splat_observed
+                h, w = int(hws[0][0]), int(hws[0][1])
+                pcs = np.asarray(batch["pc"]["xyz"])
+                pvs = np.asarray(batch["pc"]["valid"])
+                obs = [_splat_observed(pcs[b][pvs[b]], Ks[b], h, w)
+                       for b in range(pcs.shape[0])]
+                obs_z = jnp.asarray(np.stack([o[0] for o in obs]))
+                obs_m = jnp.asarray(np.stack([o[1] for o in obs]))
+                scorer = _depth_score_fn(
+                    getattr(cfg.eval, "select_hypotheses", 2048))
+                keys = jax.random.split(
+                    jax.random.fold_in(jax.random.PRNGKey(7), idx),
+                    pcs.shape[0])
+                smat = []
+                for ci, (o, pr, pv) in enumerate(cand_list):
+                    s = np.asarray(scorer(
+                        keys, batch["cad"]["xyz"], batch["cad"]["valid"],
+                        batch["pc"]["xyz"], pr, pv, batch["diam_cad"],
+                        batch["K"], obs_z, obs_m))
+                    smat.append(s * (margin if ci else 1.0))
+            else:
+                smat = [-(np.asarray(pv).sum(axis=-1) / (margin if ci
+                                                         else 1.0))
+                        for ci, (_, _, pv) in enumerate(cand_list)]
+            winner = np.stack(smat).argmin(axis=0)        # (B,)
+            o0, pr0, pv0 = cand_list[0]
+            # np.array (copy): np.asarray of a device array is a
+            # read-only view, and these are rowwise-updated below
+            out = {k: np.array(v) for k, v in o0.items()}
+            pairs, pvalid = np.array(pr0), np.array(pv0)
+            for ci in range(1, len(cand_list)):
+                sel = np.where(winner == ci)[0]
+                if sel.size:
+                    o, pr, pv = cand_list[ci]
+                    pairs[sel] = np.asarray(pr)[sel]
+                    pvalid[sel] = np.asarray(pv)[sel]
+                    for k, v in o.items():
+                        out[k][sel] = np.asarray(v)[sel]
         irs = np.asarray(ir_fn(pairs, pvalid, batch["cad"]["xyz"],
                                batch["align_pc"], 0.1 * batch["diam_cad"]))
         B = irs.shape[0]

@@ -19,6 +19,9 @@ CONFIG=${4:-config/unseen_lm300.yaml}
 # synth_eval56 (56 frames/obj, round 4+), synth_evadv (56 frames/obj
 # with occluders + depth noise + holes)
 EVAL_PREFIX=${5:-synth_eval56}
+# extra dotted overrides for the eval pass, e.g.
+#   EXTRA_OVERRIDES="eval.tta_rotations=4" scripts/run_unseen_experiment.sh ...
+EXTRA_OVERRIDES=${EXTRA_OVERRIDES:-}
 
 cd "$(dirname "$0")/.."
 mkdir -p "$OUT/all_results"
@@ -27,7 +30,7 @@ mkdir -p "$OUT/all_results"
 # compile each on the tunneled chip)
 env JAX_PLATFORMS=$PLATFORM python -m pose6d_tpu.cli.eval \
   --config $CONFIG --weights "$PARAMS" --save-results \
-  save_results="$OUT" \
+  save_results="$OUT" $EXTRA_OVERRIDES \
   --eval-names ${EVAL_PREFIX}_obj5 ${EVAL_PREFIX}_obj6 \
     ${EVAL_PREFIX}_obj8 ${EVAL_PREFIX}_obj11 ${EVAL_PREFIX}_obj12
 for obj in 5 6 8 11 12; do

@@ -9,6 +9,10 @@ than forcing a second program.
 import numpy as np
 import pytest
 
+# three compiled chunk programs (~30 s CPU) — keep out of the default
+# window; the e2e suite still covers the batched happy path
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_pose_stage(monkeypatch_module, tmp_path_factory):
