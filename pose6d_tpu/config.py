@@ -98,6 +98,12 @@ class EvalConfig:
     # frames without intrinsics.
     select_by: str = "depth"
     select_hypotheses: int = 2048  # RANSAC budget per candidate score
+    # alternatives only compete on samples whose BASE map is weak:
+    # spatial-filter survivors < select_trigger * (valid pc points).
+    # Strong base maps keep their result unconditionally — measured:
+    # every refinement helps weak/symmetric objects (obj12) and only
+    # perturbs strong ones (obj8). 1.0 = always compete.
+    select_trigger: float = 0.25
 
 
 @dataclasses.dataclass

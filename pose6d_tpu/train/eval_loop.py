@@ -254,6 +254,11 @@ def evaluate(cfg, params, dataset=None, save_dir=None,
                         for ci, (_, _, pv) in enumerate(cand_list)]
             winner = np.stack(smat).argmin(axis=0)        # (B,)
             o0, pr0, pv0 = cand_list[0]
+            # weak-base engagement: strong base maps are never replaced
+            trigger = getattr(cfg.eval, "select_trigger", 0.25)
+            base_surv = np.asarray(pv0).sum(axis=-1)
+            n_pc = np.asarray(batch["pc"]["valid"]).sum(axis=-1)
+            winner = np.where(base_surv < trigger * n_pc, winner, 0)
             # np.array (copy): np.asarray of a device array is a
             # read-only view, and these are rowwise-updated below
             out = {k: np.array(v) for k, v in o0.items()}
