@@ -129,6 +129,111 @@ def _zoomout_fn(zk: int, step: int, gate_tau: float):
             cad_xyz=cx, pc_xyz=px, diam=d, gate_tau=gate_tau)))
 
 
+def _batch_candidates(fwd, solver, refine, params, batch, rot_bank,
+                      n_fmap, k_cols):
+    """Candidate maps for one batch, each as (out, pairs, pvalid):
+    the raw prediction, its ZoomOut upsampling when on, and the same
+    pair for every non-identity rotation in the TTA bank. The base
+    candidate is always first (it wins selection ties). Selection (not
+    replacement) keeps refinements from hurting samples whose base map
+    is already strong — measured: zk=64 gated moved obj12 0.094->0.154
+    but obj8 0.297->0.243 as a replacement."""
+    def candidates(pc):
+        out = fwd(params, batch["cad"], pc)
+        cands = [(out, *solver(
+            out["C"], batch["cad"]["evecs"][:, :, :n_fmap],
+            pc["evecs"][:, :, :n_fmap],
+            batch["cad"]["xyz"], pc["xyz"],
+            batch["cad"]["valid"], pc["valid"],
+            batch["diam_cad"]))]
+        if refine is not None:
+            C_r = refine(out["C"], batch["cad"]["evecs"],
+                         pc["evecs"], batch["cad"]["valid"],
+                         pc["valid"], batch["cad"]["xyz"],
+                         pc["xyz"], batch["diam_cad"])
+            cands.append((out, *solver(
+                C_r, batch["cad"]["evecs"][:, :, :k_cols],
+                pc["evecs"][:, :, :k_cols],
+                batch["cad"]["xyz"], pc["xyz"],
+                batch["cad"]["valid"], pc["valid"],
+                batch["diam_cad"])))
+        return cands
+
+    cand_list = candidates(batch["pc"])
+    if rot_bank is not None:
+        rotate = _rotate_pc_fn()
+        for R3 in rot_bank[1:]:  # bank[0] is the identity
+            pc_r = dict(batch["pc"])
+            pc_r["xyz"] = rotate(batch["pc"]["xyz"],
+                                 batch["pc"]["valid"], jnp.asarray(R3))
+            cand_list.extend(candidates(pc_r))
+    return cand_list
+
+
+def _select_winner(cfg, batch, cand_list, idx):
+    """Per-sample winner over candidate maps (lower score = better).
+
+    Signal: depth-render consistency of a cheap RANSAC pose per
+    candidate (select_by=depth; falls back to spatial-filter survivor
+    counts without intrinsics). Non-base candidates carry a hysteresis
+    handicap (select_margin), and alternatives only compete at all on
+    samples whose base map is weak (select_trigger) — strong base maps
+    are never replaced."""
+    margin = 1.0 + getattr(cfg.eval, "select_margin", 0.15)
+    select_by = getattr(cfg.eval, "select_by", "depth")
+    Ks = np.asarray(batch["K"])
+    hws = np.asarray(batch["im_hw"])
+    use_depth = (select_by == "depth"
+                 and float(np.abs(Ks).sum(axis=(1, 2)).min()) > 0
+                 and bool((hws == hws[0]).all()))
+    if use_depth:
+        # splat the observed clouds once per batch — shared evidence
+        # for every candidate
+        from .pose_stage import _splat_observed
+        h, w = int(hws[0][0]), int(hws[0][1])
+        pcs = np.asarray(batch["pc"]["xyz"])
+        pvs = np.asarray(batch["pc"]["valid"])
+        obs = [_splat_observed(pcs[b][pvs[b]], Ks[b], h, w)
+               for b in range(pcs.shape[0])]
+        obs_z = jnp.asarray(np.stack([o[0] for o in obs]))
+        obs_m = jnp.asarray(np.stack([o[1] for o in obs]))
+        scorer = _depth_score_fn(
+            getattr(cfg.eval, "select_hypotheses", 2048))
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(7), idx),
+            pcs.shape[0])
+        smat = []
+        for ci, (o, pr, pv) in enumerate(cand_list):
+            s = np.asarray(scorer(
+                keys, batch["cad"]["xyz"], batch["cad"]["valid"],
+                batch["pc"]["xyz"], pr, pv, batch["diam_cad"],
+                batch["K"], obs_z, obs_m))
+            smat.append(s * (margin if ci else 1.0))
+    else:
+        smat = [-(np.asarray(pv).sum(axis=-1) / (margin if ci else 1.0))
+                for ci, (_, _, pv) in enumerate(cand_list)]
+    winner = np.stack(smat).argmin(axis=0)        # (B,)
+    o0, pr0, pv0 = cand_list[0]
+    # weak-base engagement: strong base maps are never replaced
+    trigger = getattr(cfg.eval, "select_trigger", 0.25)
+    base_surv = np.asarray(pv0).sum(axis=-1)
+    n_pc = np.asarray(batch["pc"]["valid"]).sum(axis=-1)
+    winner = np.where(base_surv < trigger * n_pc, winner, 0)
+    # np.array (copy): np.asarray of a device array is a read-only
+    # view, and these are rowwise-updated below
+    out = {k: np.array(v) for k, v in o0.items()}
+    pairs, pvalid = np.array(pr0), np.array(pv0)
+    for ci in range(1, len(cand_list)):
+        sel = np.where(winner == ci)[0]
+        if sel.size:
+            o, pr, pv = cand_list[ci]
+            pairs[sel] = np.asarray(pr)[sel]
+            pvalid[sel] = np.asarray(pv)[sel]
+            for k, v in o.items():
+                out[k][sel] = np.asarray(v)[sel]
+    return out, pairs, pvalid
+
+
 def evaluate(cfg, params, dataset=None, save_dir=None,
              sample_kw: dict | None = None, eval_fns=None):
     """Returns (mean_ir, per_object_ir dict); writes result npzs.
@@ -173,104 +278,13 @@ def evaluate(cfg, params, dataset=None, save_dir=None,
     all_ir, per_obj = [], {}
     idx = 0
     for batch in loader:
-        def candidates(pc):
-            """(out, pairs, pvalid) per candidate map for this cloud:
-            the raw prediction, plus its ZoomOut upsampling when on.
-            Selection (not replacement) keeps the refinement from
-            hurting samples whose base map is already strong —
-            measured: zk=64 gated moved obj12 0.094->0.154 but obj8
-            0.297->0.243 as a replacement."""
-            out = fwd(params, batch["cad"], pc)
-            cands = [(out, *solver(
-                out["C"], batch["cad"]["evecs"][:, :, :n_fmap],
-                pc["evecs"][:, :, :n_fmap],
-                batch["cad"]["xyz"], pc["xyz"],
-                batch["cad"]["valid"], pc["valid"],
-                batch["diam_cad"]))]
-            if refine is not None:
-                C_r = refine(out["C"], batch["cad"]["evecs"],
-                             pc["evecs"], batch["cad"]["valid"],
-                             pc["valid"], batch["cad"]["xyz"],
-                             pc["xyz"], batch["diam_cad"])
-                cands.append((out, *solver(
-                    C_r, batch["cad"]["evecs"][:, :, :k_cols],
-                    pc["evecs"][:, :, :k_cols],
-                    batch["cad"]["xyz"], pc["xyz"],
-                    batch["cad"]["valid"], pc["valid"],
-                    batch["diam_cad"])))
-            return cands
-
-        # per-sample argmax of spatial-filter survivors over all
-        # candidates; the identity/base candidate runs first and wins
-        # ties
-        cand_list = candidates(batch["pc"])
-        if rot_bank is not None:
-            rotate = _rotate_pc_fn()
-            for R3 in rot_bank[1:]:  # bank[0] is the identity
-                pc_r = dict(batch["pc"])
-                pc_r["xyz"] = rotate(batch["pc"]["xyz"],
-                                     batch["pc"]["valid"],
-                                     jnp.asarray(R3))
-                cand_list.extend(candidates(pc_r))
+        cand_list = _batch_candidates(fwd, solver, refine, params,
+                                      batch, rot_bank, n_fmap, k_cols)
         if len(cand_list) == 1:
             out, pairs, pvalid = cand_list[0]
         else:
-            # score every candidate (lower = better), then take the
-            # per-sample winner; the base candidate is scored without
-            # the hysteresis handicap and wins argmin ties
-            margin = 1.0 + getattr(cfg.eval, "select_margin", 0.15)
-            select_by = getattr(cfg.eval, "select_by", "depth")
-            Ks = np.asarray(batch["K"])
-            hws = np.asarray(batch["im_hw"])
-            use_depth = (select_by == "depth"
-                         and float(np.abs(Ks).sum(axis=(1, 2)).min()) > 0
-                         and bool((hws == hws[0]).all()))
-            if use_depth:
-                # splat the observed clouds once per batch — shared
-                # evidence for every candidate
-                from .pose_stage import _splat_observed
-                h, w = int(hws[0][0]), int(hws[0][1])
-                pcs = np.asarray(batch["pc"]["xyz"])
-                pvs = np.asarray(batch["pc"]["valid"])
-                obs = [_splat_observed(pcs[b][pvs[b]], Ks[b], h, w)
-                       for b in range(pcs.shape[0])]
-                obs_z = jnp.asarray(np.stack([o[0] for o in obs]))
-                obs_m = jnp.asarray(np.stack([o[1] for o in obs]))
-                scorer = _depth_score_fn(
-                    getattr(cfg.eval, "select_hypotheses", 2048))
-                keys = jax.random.split(
-                    jax.random.fold_in(jax.random.PRNGKey(7), idx),
-                    pcs.shape[0])
-                smat = []
-                for ci, (o, pr, pv) in enumerate(cand_list):
-                    s = np.asarray(scorer(
-                        keys, batch["cad"]["xyz"], batch["cad"]["valid"],
-                        batch["pc"]["xyz"], pr, pv, batch["diam_cad"],
-                        batch["K"], obs_z, obs_m))
-                    smat.append(s * (margin if ci else 1.0))
-            else:
-                smat = [-(np.asarray(pv).sum(axis=-1) / (margin if ci
-                                                         else 1.0))
-                        for ci, (_, _, pv) in enumerate(cand_list)]
-            winner = np.stack(smat).argmin(axis=0)        # (B,)
-            o0, pr0, pv0 = cand_list[0]
-            # weak-base engagement: strong base maps are never replaced
-            trigger = getattr(cfg.eval, "select_trigger", 0.25)
-            base_surv = np.asarray(pv0).sum(axis=-1)
-            n_pc = np.asarray(batch["pc"]["valid"]).sum(axis=-1)
-            winner = np.where(base_surv < trigger * n_pc, winner, 0)
-            # np.array (copy): np.asarray of a device array is a
-            # read-only view, and these are rowwise-updated below
-            out = {k: np.array(v) for k, v in o0.items()}
-            pairs, pvalid = np.array(pr0), np.array(pv0)
-            for ci in range(1, len(cand_list)):
-                sel = np.where(winner == ci)[0]
-                if sel.size:
-                    o, pr, pv = cand_list[ci]
-                    pairs[sel] = np.asarray(pr)[sel]
-                    pvalid[sel] = np.asarray(pv)[sel]
-                    for k, v in o.items():
-                        out[k][sel] = np.asarray(v)[sel]
+            out, pairs, pvalid = _select_winner(cfg, batch, cand_list,
+                                                idx)
         irs = np.asarray(ir_fn(pairs, pvalid, batch["cad"]["xyz"],
                                batch["align_pc"], 0.1 * batch["diam_cad"]))
         B = irs.shape[0]
