@@ -50,7 +50,9 @@ class Predictor:
                  v_pc: int = V_PC, max_pc: int = 2000,
                  ransac_hypotheses: int = 131072, icp_iters: int = 30,
                  lobpcg_iters: int = 80, disambiguate: bool = True,
-                 fps_groups: int = 1):
+                 fps_groups: int = 1, tta_rotations: int = 0,
+                 zoomout_k: int = 0, select_margin: float = 0.15,
+                 select_trigger: float = 0.25):
         """disambiguate (default ON): run the depth-consistency
         flip-disambiguation stage (solvers/multistart.py) after ICP —
         an addition over the reference that rescues symmetry-flipped
@@ -60,9 +62,24 @@ class Predictor:
         >1 opts into grouped FPS (ops/sampling.py), which cuts the
         online path's 2000-step sequential argmax chain by that factor
         at the cost of a covering radius up to ~1.35x the exact FPS —
-        an explicit speed/fidelity trade, not the default."""
+        an explicit speed/fidelity trade, not the default.
+
+        tta_rotations / zoomout_k (default OFF): eval-time candidate
+        maps — forwards of rigidly rotated clouds (spectral ops are
+        rigid-invariant, computed once) and/or a ZoomOut upsampling of
+        the predicted map — scored per frame by depth-render
+        consistency of each candidate's RANSAC pose, with the base map
+        protected by select_margin hysteresis and the select_trigger
+        weak-base gate (see train/eval_loop.py for the measured
+        rationale). Online mode only: the whole candidate bank unrolls
+        statically inside the ONE jitted program; the cached-operator
+        path stays base-only (no depth evidence is available there)."""
         assert mode in ("online", "cached")
         self.disambiguate = disambiguate
+        self._tta = tta_rotations
+        self._zk = zoomout_k
+        self._sel_margin = select_margin
+        self._sel_trigger = select_trigger
         self.params = params
         self.cfg = cfg
         self.mode = mode
@@ -110,7 +127,11 @@ class Predictor:
                   "evecs": evecs, "valid": pc_valid}
         else:
             raise ValueError("cached mode: use predict_with_operators")
-        out = self._run_model_and_pose(cad, pc, diam, key)
+        if self._tta > 1 or self._zk:
+            out = self._run_candidates_and_pose(cad, pc, diam, key,
+                                                K, obs_z, mask)
+        else:
+            out = self._run_model_and_pose(cad, pc, diam, key)
         if self.disambiguate:
             from .solvers import disambiguate_pose_depth
             fix = disambiguate_pose_depth(
@@ -121,6 +142,77 @@ class Predictor:
             out["t"] = fix["t"]
             out["flip_hypothesis"] = fix["hypothesis"]
         return out
+
+    def _candidate_maps(self, cad, pc, diam):
+        """(C, evec_cols) per candidate; base first. All traced — the
+        rotation bank is a static constant, so the full bank unrolls
+        into the one compiled program."""
+        out = self.model.apply(self.params, cad, pc)
+        nf = self.cfg.n_fmap
+        cands = [(out["C"], nf)]
+        if self._zk:
+            from .solvers import zoomout_refine
+            C_r = zoomout_refine(out["C"], cad["evecs"][:, :self._zk],
+                                 pc["evecs"][:, :self._zk],
+                                 cad["valid"], pc["valid"],
+                                 cad_xyz=cad["xyz"], pc_xyz=pc["xyz"],
+                                 diam=diam, gate_tau=0.15)
+            cands.append((C_r, self._zk))
+        if self._tta > 1:
+            from .solvers.multistart import so3_bank
+            vf = pc["valid"].astype(pc["xyz"].dtype)[:, None]
+            c = (jnp.sum(pc["xyz"] * vf, 0)
+                 / jnp.maximum(jnp.sum(vf), 1.0))
+            for R3 in so3_bank(self._tta)[1:]:
+                xyz_r = jnp.where(
+                    vf > 0, (pc["xyz"] - c) @ jnp.asarray(R3).T + c, 0.0)
+                out_r = self.model.apply(self.params, cad,
+                                         {**pc, "xyz": xyz_r})
+                cands.append((out_r["C"], nf))
+        return out, cands
+
+    def _run_candidates_and_pose(self, cad, pc, diam, key, K, obs_z,
+                                 mask):
+        """Candidate maps -> per-candidate RANSAC pose -> depth-render
+        score -> in-trace winner select -> ICP. The base candidate wins
+        ties (margin handicap) and weak-base gating (trigger) keeps
+        strong base maps unconditionally."""
+        from .solvers.verify_pose import depth_consistency_score
+        out, cands = self._candidate_maps(cad, pc, diam)
+        Rs, ts, inls, scores, pair_l, pv_l = [], [], [], [], [], []
+        base_surv = None
+        for ci, (C, k) in enumerate(cands):
+            pairs, pvalid = spatial_filtering_fmap2pointmap(
+                C, cad["evecs"][:, :k], pc["evecs"][:, :k],
+                cad["xyz"], pc["xyz"], cad["valid"], pc["valid"], diam)
+            if ci == 0:
+                base_surv = jnp.sum(pvalid)
+            pose = ransac_pose(key, cad["xyz"][pairs[0]],
+                               pc["xyz"][pairs[1]], pvalid,
+                               threshold=0.05 * diam,
+                               n_hypotheses=self._rh, hyp_block=512)
+            s = depth_consistency_score(cad["xyz"], cad["valid"],
+                                        pose["R"], pose["t"], K,
+                                        obs_z, mask, diam)
+            scores.append(s * (1.0 + self._sel_margin if ci else 1.0))
+            Rs.append(pose["R"])
+            ts.append(pose["t"])
+            inls.append(pose["n_inliers"])
+            pair_l.append(pairs)
+            pv_l.append(pvalid)
+        engaged = base_surv < self._sel_trigger * jnp.sum(pc["valid"])
+        winner = jnp.where(engaged, jnp.argmin(jnp.stack(scores)), 0)
+        R0, t0 = jnp.stack(Rs)[winner], jnp.stack(ts)[winner]
+        icp = icp_point2point(cad["xyz"], cad["valid"], pc["xyz"],
+                              pc["valid"], R0, t0,
+                              max_corr_dist=0.2 * diam,
+                              max_iter=self._icp_iters)
+        return {"R": icp["R"], "t": icp["t"],
+                "n_inliers": jnp.stack(inls)[winner],
+                "overlap12": out["overlap12"],
+                "overlap21": out["overlap21"],
+                "C": out["C"], "icp_rmse": icp["rmse"],
+                "candidate": winner}
 
     def _run_model_and_pose(self, cad, pc, diam, key):
         out = self.model.apply(self.params, cad, pc)

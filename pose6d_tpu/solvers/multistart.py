@@ -35,6 +35,26 @@ def _axis_angle(axis, angle):
             + (1 - jnp.cos(angle)) * (K @ K))
 
 
+def so3_bank(n: int):
+    """First n of a fixed coarse SO(3) rotation bank (max 10): identity,
+    180-degree flips about x/y/z, then +-90-degree turns about z/y/x.
+    Used by rotation TTA (train/eval_loop.py, api.py) — the bank is a
+    static numpy constant that folds into traced programs."""
+    import numpy as np
+
+    def aa(ax, ang):
+        x, y, z = ax
+        K = np.array([[0., -z, y], [z, 0., -x], [-y, x, 0.]])
+        return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+    mats = [np.eye(3)]
+    for ax in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+        mats.append(aa(ax, np.pi))
+    for ax in ((0, 0, 1), (0, 1, 0), (1, 0, 0)):
+        mats.append(aa(ax, np.pi / 2))
+        mats.append(aa(ax, -np.pi / 2))
+    return np.stack(mats[:n]).astype(np.float32)
+
+
 def flip_hypotheses(cad_xyz, cad_valid, R0, t0):
     """Pose bank: identity + 180deg flips about principal axes +
     +-90deg about the dominant axis, all about the CAD centroid."""

@@ -68,19 +68,8 @@ def make_eval_fns(model, use_spatial: bool):
 
 
 def _tta_rotation_bank(n: int):
-    """First n of a fixed coarse SO(3) bank: identity, 180-degree flips
-    about x/y/z, then +-90-degree turns about z/y/x (max 10)."""
-    def aa(ax, ang):
-        x, y, z = ax
-        K = np.array([[0., -z, y], [z, 0., -x], [-y, x, 0.]])
-        return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
-    mats = [np.eye(3)]
-    for ax in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
-        mats.append(aa(ax, np.pi))
-    for ax in ((0, 0, 1), (0, 1, 0), (1, 0, 0)):
-        mats.append(aa(ax, np.pi / 2))
-        mats.append(aa(ax, -np.pi / 2))
-    return np.stack(mats[:n]).astype(np.float32)
+    from ..solvers.multistart import so3_bank
+    return so3_bank(n)
 
 
 @functools.lru_cache(maxsize=1)

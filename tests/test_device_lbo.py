@@ -103,3 +103,17 @@ class TestPredictorAPI:
         assert np.isfinite(res["R"]).all() and np.isfinite(res["t"]).all()
         assert abs(np.linalg.det(res["R"]) - 1) < 1e-3
         assert res["n_inliers"] >= 0
+
+        # candidate-selection mode: rotation TTA + ZoomOut unroll into
+        # the same single jitted program; winner index is reported
+        pred2 = Predictor(params, {3: cad_dict}, mode="online",
+                          v_cad=640, v_pc=512, max_pc=500,
+                          ransac_hypotheses=512, icp_iters=5,
+                          lobpcg_iters=30, tta_rotations=2, zoomout_k=64)
+        res2 = pred2.predict(frame["depth"], K,
+                             frame["camera"]["depth_scale"],
+                             [mask], [3])[0]
+        assert res2["R"].shape == (3, 3)
+        assert np.isfinite(res2["R"]).all()
+        assert abs(np.linalg.det(res2["R"]) - 1) < 1e-3
+        assert 0 <= int(res2["candidate"]) < 3
