@@ -104,6 +104,21 @@ def load_pretrained_params(path: str, template, model_cfg=None):
     return loaded
 
 
+def resume_offsets(restored_step: int, steps_per_epoch: int, key):
+    """Loader-epoch and RNG-key offsets for chained-window resume.
+
+    Chained-window training (resume_dir + max_steps caps, the pattern
+    the 590 s execution windows force) restarts the process's loader
+    epoch counter and RNG key from scratch at every window; without an
+    offset each window replays the epoch-0 shuffle order and the same
+    augmentation key sequence, biasing the sample/augmentation
+    distribution toward the first epochs'. Offsetting both by the
+    restored step makes the window chain sample like one continuous run.
+    """
+    return restored_step // steps_per_epoch, jax.random.fold_in(
+        key, restored_step)
+
+
 def train(cfg, dataset=None, max_steps: int | None = None,
           sample_kw: dict | None = None):
     """Run training per config; returns the final TrainState.
@@ -152,6 +167,8 @@ def train(cfg, dataset=None, max_steps: int | None = None,
     latest = latest_checkpoint(ckpt_dir)
     if latest is not None:
         state = restore_checkpoint(latest, state)
+        loader.epoch, key = resume_offsets(int(state.step),
+                                           steps_per_epoch, key)
 
     step = jax.jit(step_fn)
     solver = None

@@ -116,6 +116,22 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.7
 
+    def test_resume_offsets_continue_epoch_and_key(self):
+        # Chained-window resume must not replay the epoch-0 shuffle /
+        # augmentation keys: offsets derive from the restored step.
+        from pose6d_tpu.train.loop import resume_offsets
+        key = jax.random.PRNGKey(7)
+        ep, k = resume_offsets(674, 337, key)
+        assert ep == 2
+        assert not np.array_equal(np.asarray(k), np.asarray(key))
+        # deterministic: the same window restart gets the same stream
+        ep2, k2 = resume_offsets(674, 337, key)
+        assert ep2 == ep and np.array_equal(np.asarray(k2), np.asarray(k))
+        # fresh run (step 0) keeps epoch 0; key fold-in at 0 is still
+        # a distinct stream but must stay deterministic
+        ep0, _ = resume_offsets(0, 337, key)
+        assert ep0 == 0
+
     def test_grad_clip_active(self):
         rng = np.random.default_rng(0)
         batch = make_batch(rng)
