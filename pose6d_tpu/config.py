@@ -42,6 +42,11 @@ class TrainConfig:
     epochs: int = 5000
     grad_clip: float = 5.0
     checkpoint_interval: int = 1      # epochs
+    checkpoint_every_steps: int = 0   # additional step-based cadence
+                                      # (0 = off). For chained-window
+                                      # runs whose process can be killed
+                                      # mid-epoch: bounds the loss to
+                                      # this many steps.
     checkpoint_keep: int = 5          # retained ckpt_*.msgpack files
                                       # (raise for early-stopping sweeps)
     log_interval: int = 1             # steps

@@ -199,6 +199,10 @@ def train(cfg, dataset=None, max_steps: int | None = None,
             if global_step % tcfg.log_interval == 0:
                 print(f"epoch {epoch} step {global_step} "
                       f"loss {logs['loss']:.4f}")
+            if (tcfg.checkpoint_every_steps
+                    and global_step % tcfg.checkpoint_every_steps == 0):
+                save_checkpoint(ckpt_dir, state, global_step,
+                                keep=tcfg.checkpoint_keep)
             if max_steps is not None and global_step >= max_steps:
                 break
         logger.log_epoch(epoch_logs, epoch)

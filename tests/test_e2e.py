@@ -39,7 +39,8 @@ def cfg(synth_root, tmp_path_factory):
         "logging_dir": str(out / "logs"),
         "save_results": str(out / "results"),
         "train": {"batch_size": 2, "epochs": 2, "checkpoint_interval": 1,
-                  "log_interval": 10, "num_threads": 2},
+                  "checkpoint_every_steps": 3, "log_interval": 10,
+                  "num_threads": 2},
         "loss": {"nce_num_pairs": 64},
         "eval": {"batch_size": 2},
         "train_datasets": [{"render_data_name": "synth"}],
@@ -86,6 +87,12 @@ class TestEndToEnd:
         # checkpoint was written and can resume
         logs = sorted(Path(cfg.logging_dir).iterdir())
         assert any((d / "ckpt").exists() for d in logs)
+        # step-based cadence fired mid-epoch (checkpoint_every_steps=3,
+        # steps_per_epoch=2): a killed chained window loses at most that
+        # many steps
+        names = [p.name for d in logs if (d / "ckpt").exists()
+                 for p in (d / "ckpt").iterdir()]
+        assert "ckpt_00000003.msgpack" in names
 
         mean_ir, per_obj = evaluate(cfg, state.params, dataset=ds,
                                     sample_kw=SAMPLE_KW)
