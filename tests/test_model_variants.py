@@ -362,3 +362,57 @@ class TestHKSInputFeatures:
         for i in range(0, 15, 5):
             r = np.corrcoef(hv[:, i], hv[:, i + 1])[0, 1]
             assert r < 0.99999
+
+
+class TestCommittedConfigs:
+    """Every committed config YAML must build a model that initializes
+    and runs (configs must not rot as the model evolves), with a
+    first_lin input width matching its declared input_features —
+    that width is what load_pretrained_params' widening keys on."""
+
+    def test_every_config_initializes_with_declared_width(self):
+        from pathlib import Path
+        from pose6d_tpu.config import load_config
+        rng = np.random.default_rng(9)
+        cad, pc = make_shape(rng, 64, 60), make_shape(rng, 48, 44)
+        seen = 0
+        for p in sorted(Path("config").glob("*.yaml")):
+            mc = load_config(p).model
+            model = DPFMNet(mc)
+            params = model.init(jax.random.PRNGKey(0), cad, pc)
+            rows = params["params"]["feature_extractor"]["first_lin"][
+                "kernel"].shape[0]
+            expected = (3 * ("xyz" in mc.input_features)
+                        + mc.n_hks * ("hks" in mc.input_features)
+                        + mc.n_wks * ("wks" in mc.input_features))
+            assert rows == expected, (
+                f"{p}: first_lin rows {rows} != {expected} "
+                f"for input_features={mc.input_features!r}")
+            out = model.apply(params, cad, pc)
+            assert bool(jnp.isfinite(out["C"]).all()), p
+            seen += 1
+        assert seen >= 7
+
+    def test_intrinsic_arm_is_rigid_invariant(self):
+        """config/unseen_lm300_intrinsic.yaml: no coordinate reaches
+        the encoder, so an arbitrary rigid motion of the observed
+        cloud leaves the functional map bit-identical."""
+        from scipy.spatial.transform import Rotation
+        from pose6d_tpu.config import load_config
+        mc = load_config("config/unseen_lm300_intrinsic.yaml").model
+        assert mc.input_features == "hks_wks"
+        rng = np.random.default_rng(11)
+        cad, pc = make_shape(rng, 96, 90), make_shape(rng, 64, 58)
+        model = DPFMNet(mc)
+        params = model.init(jax.random.PRNGKey(0), cad, pc)
+        R = jnp.asarray(
+            Rotation.from_rotvec([1.1, -2.0, 0.7]).as_matrix(), jnp.float32)
+        pc_moved = dict(pc)
+        pc_moved["xyz"] = jnp.where(pc["valid"][:, None],
+                                    pc["xyz"] @ R.T + 40.0, 0.0)
+        a = model.apply(params, cad, pc)
+        b = model.apply(params, cad, pc_moved)
+        np.testing.assert_array_equal(np.asarray(a["C"]),
+                                      np.asarray(b["C"]))
+        np.testing.assert_array_equal(np.asarray(a["overlap21"]),
+                                      np.asarray(b["overlap21"]))
