@@ -14,6 +14,14 @@ per block row, writes are the (P,) sums.
 
 Grid (nj, ni), i innermost: the output block for column block j stays
 resident in VMEM while the i-blocks accumulate into it.
+
+Block sizes: the kernel's live temporaries (da, db, |da-db|*w and the
+sqd intermediates, each (block_i, block_j) f32) land on the scoped VMEM
+stack; at 1024x1024 that stack hits the 16 MB scoped limit on v5e
+(observed as a compile-time "out of memory in memory space vmem ... on
+stack" at production shapes). 512x1024 halves the stack with no change
+in HBM traffic; the column block stays 1024 wide so output accumulation
+is still lane-aligned.
 """
 from __future__ import annotations
 
@@ -52,7 +60,7 @@ def _consistency_kernel(car_ref, cbr_ref, w_ref, cac_ref, cbc_ref, out_ref):
 @functools.partial(jax.jit,
                    static_argnames=("block_i", "block_j", "interpret"))
 def masked_consistency_sum(coords_cad, coords_pc, w,
-                           block_i: int = 1024, block_j: int = 1024,
+                           block_i: int = 512, block_j: int = 1024,
                            interpret: bool = False):
     """sum_i w_i * |d_cad(i,j) - d_pc(i,j)| for every pair j.
 
