@@ -41,13 +41,15 @@ from pose6d_tpu.data.pipeline import collate, make_sample  # noqa: E402
 from pose6d_tpu.data.synth import write_bop_scene  # noqa: E402
 from pose6d_tpu.models import DPFMConfig, DPFMNet  # noqa: E402
 from pose6d_tpu.solvers import (disambiguate_pose_depth,  # noqa: E402
-                                icp_point2point, ransac_pose,
+                                icp_cloud_to_model, ransac_pose,
                                 spatial_filtering_fmap2pointmap)
+from pose6d_tpu.solvers.candidates import candidate_select_pose  # noqa: E402
 from pose6d_tpu.train import metrics  # noqa: E402
 
 N_FRAMES = 8      # distinct poses per object
 BENCH_OBJS = (1, 5)   # the two objects the bench checkpoint trained on
 N_ITERS = 4
+TTA_ROTATIONS = 4   # rotation-TTA candidates in the frame pipeline
 N_TRAIN_ITERS = 8
 MODELS_DIR = "/root/reference/sample-data/lm/models"
 WEIGHTS = os.environ.get(
@@ -165,22 +167,22 @@ def main(profile_dir: str | None = None):
     n_fmap = 30
 
     def one_frame(cad, pc, diam, key, K, obs_z, mask):
-        out = model.apply(params, cad, pc)
-        pairs, pvalid = spatial_filtering_fmap2pointmap(
-            out["C"], cad["evecs"][:, :n_fmap], pc["evecs"][:, :n_fmap],
-            cad["xyz"], pc["xyz"], cad["valid"], pc["valid"], diam)
-        src = cad["xyz"][pairs[0]]
-        dst = pc["xyz"][pairs[1]]
-        pose = ransac_pose(key, src, dst, pvalid, threshold=0.05 * diam,
-                           n_hypotheses=4096, hyp_block=512)
-        icp = icp_point2point(cad["xyz"], cad["valid"], pc["xyz"],
-                              pc["valid"], pose["R"], pose["t"],
-                              max_corr_dist=0.2 * diam, max_iter=30)
+        # the production inference recipe (api.Predictor defaults plus
+        # rotation TTA): candidate maps -> depth-evidence winner select
+        # -> observed-cloud ICP -> flip disambiguation. TTA engages only
+        # on weak base maps (select_trigger), so strong frames pay one
+        # extra spatial filter, weak frames get the rotated re-encodes
+        # that rescue globally-consistent-but-rotated maps.
+        sel = candidate_select_pose(
+            lambda c, q: model.apply(params, c, q), cad, pc, diam, key,
+            K, obs_z, mask, n_fmap=n_fmap, tta_rotations=TTA_ROTATIONS,
+            ransac_hypotheses=4096, icp_iters=30)
         fix = disambiguate_pose_depth(
             cad["xyz"], cad["valid"], pc["xyz"], pc["valid"],
-            icp["R"], icp["t"], diam, K, obs_z, mask)
+            sel["R"], sel["t"], diam, K, obs_z, mask)
         return {"R": fix["R"], "t": fix["t"],
-                "n_inliers": pose["n_inliers"],
+                "n_inliers": sel["n_inliers"],
+                "candidate": sel["candidate"],
                 "flip_hypothesis": fix["hypothesis"]}
 
     @jax.jit
@@ -225,7 +227,7 @@ def main(profile_dir: str | None = None):
                 k, s, d2, v, threshold=0.05 * d,
                 n_hypotheses=4096, hyp_block=512)))
         icp_b = jax.jit(jax.vmap(
-            lambda c, p, R, t, d: icp_point2point(
+            lambda c, p, R, t, d: icp_cloud_to_model(
                 c["xyz"], c["valid"], p["xyz"], p["valid"], R, t,
                 max_corr_dist=0.2 * d, max_iter=30)))
         disamb_b = jax.jit(jax.vmap(

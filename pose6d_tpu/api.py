@@ -26,7 +26,7 @@ import numpy as np
 from .models import DPFMConfig, DPFMNet
 from .ops import geometry, sampling
 from .ops.masking import V_CAD, V_PC, pad_to
-from .solvers import (icp_point2point, ransac_pose,
+from .solvers import (icp_cloud_to_model, ransac_pose,
                       spatial_filtering_fmap2pointmap)
 from .spectral.device_lbo import device_pc_operators
 
@@ -144,75 +144,28 @@ class Predictor:
         return out
 
     def _candidate_maps(self, cad, pc, diam):
-        """(C, evec_cols) per candidate; base first. All traced — the
-        rotation bank is a static constant, so the full bank unrolls
-        into the one compiled program."""
-        out = self.model.apply(self.params, cad, pc)
-        nf = self.cfg.n_fmap
-        cands = [(out["C"], nf)]
-        if self._zk:
-            from .solvers import zoomout_refine
-            C_r = zoomout_refine(out["C"], cad["evecs"][:, :self._zk],
-                                 pc["evecs"][:, :self._zk],
-                                 cad["valid"], pc["valid"],
-                                 cad_xyz=cad["xyz"], pc_xyz=pc["xyz"],
-                                 diam=diam, gate_tau=0.15)
-            cands.append((C_r, self._zk))
-        if self._tta > 1:
-            from .solvers.multistart import so3_bank
-            vf = pc["valid"].astype(pc["xyz"].dtype)[:, None]
-            c = (jnp.sum(pc["xyz"] * vf, 0)
-                 / jnp.maximum(jnp.sum(vf), 1.0))
-            for R3 in so3_bank(self._tta)[1:]:
-                xyz_r = jnp.where(
-                    vf > 0, (pc["xyz"] - c) @ jnp.asarray(R3).T + c, 0.0)
-                out_r = self.model.apply(self.params, cad,
-                                         {**pc, "xyz": xyz_r})
-                cands.append((out_r["C"], nf))
-        return out, cands
+        """(C, evec_cols) per candidate; base first (solvers/candidates)."""
+        from .solvers.candidates import candidate_maps
+        return candidate_maps(
+            lambda c, q: self.model.apply(self.params, c, q),
+            cad, pc, diam, n_fmap=self.cfg.n_fmap,
+            tta_rotations=self._tta, zoomout_k=self._zk)
 
     def _run_candidates_and_pose(self, cad, pc, diam, key, K, obs_z,
                                  mask):
-        """Candidate maps -> per-candidate RANSAC pose -> depth-render
-        score -> in-trace winner select -> ICP. The base candidate wins
-        ties (margin handicap) and weak-base gating (trigger) keeps
-        strong base maps unconditionally."""
-        from .solvers.verify_pose import depth_consistency_score
-        out, cands = self._candidate_maps(cad, pc, diam)
-        Rs, ts, inls, scores, pair_l, pv_l = [], [], [], [], [], []
-        base_surv = None
-        for ci, (C, k) in enumerate(cands):
-            pairs, pvalid = spatial_filtering_fmap2pointmap(
-                C, cad["evecs"][:, :k], pc["evecs"][:, :k],
-                cad["xyz"], pc["xyz"], cad["valid"], pc["valid"], diam)
-            if ci == 0:
-                base_surv = jnp.sum(pvalid)
-            pose = ransac_pose(key, cad["xyz"][pairs[0]],
-                               pc["xyz"][pairs[1]], pvalid,
-                               threshold=0.05 * diam,
-                               n_hypotheses=self._rh, hyp_block=512)
-            s = depth_consistency_score(cad["xyz"], cad["valid"],
-                                        pose["R"], pose["t"], K,
-                                        obs_z, mask, diam)
-            scores.append(s * (1.0 + self._sel_margin if ci else 1.0))
-            Rs.append(pose["R"])
-            ts.append(pose["t"])
-            inls.append(pose["n_inliers"])
-            pair_l.append(pairs)
-            pv_l.append(pvalid)
-        engaged = base_surv < self._sel_trigger * jnp.sum(pc["valid"])
-        winner = jnp.where(engaged, jnp.argmin(jnp.stack(scores)), 0)
-        R0, t0 = jnp.stack(Rs)[winner], jnp.stack(ts)[winner]
-        icp = icp_point2point(cad["xyz"], cad["valid"], pc["xyz"],
-                              pc["valid"], R0, t0,
-                              max_corr_dist=0.2 * diam,
-                              max_iter=self._icp_iters)
-        return {"R": icp["R"], "t": icp["t"],
-                "n_inliers": jnp.stack(inls)[winner],
-                "overlap12": out["overlap12"],
-                "overlap21": out["overlap21"],
-                "C": out["C"], "icp_rmse": icp["rmse"],
-                "candidate": winner}
+        """Delegates to solvers.candidates.candidate_select_pose (shared
+        with bench.py): per-candidate RANSAC pose -> depth-render score
+        -> in-trace winner select -> ICP. The base candidate wins ties
+        (margin handicap) and weak-base gating (trigger) keeps strong
+        base maps unconditionally."""
+        from .solvers.candidates import candidate_select_pose
+        return candidate_select_pose(
+            lambda c, q: self.model.apply(self.params, c, q),
+            cad, pc, diam, key, K, obs_z, mask,
+            n_fmap=self.cfg.n_fmap, tta_rotations=self._tta,
+            zoomout_k=self._zk, ransac_hypotheses=self._rh,
+            icp_iters=self._icp_iters, select_margin=self._sel_margin,
+            select_trigger=self._sel_trigger)
 
     def _run_model_and_pose(self, cad, pc, diam, key):
         out = self.model.apply(self.params, cad, pc)
@@ -224,10 +177,10 @@ class Predictor:
         dst = pc["xyz"][pairs[1]]
         pose = ransac_pose(key, src, dst, pvalid, threshold=0.05 * diam,
                            n_hypotheses=self._rh, hyp_block=512)
-        icp = icp_point2point(cad["xyz"], cad["valid"], pc["xyz"],
-                              pc["valid"], pose["R"], pose["t"],
-                              max_corr_dist=0.2 * diam,
-                              max_iter=self._icp_iters)
+        icp = icp_cloud_to_model(cad["xyz"], cad["valid"], pc["xyz"],
+                                 pc["valid"], pose["R"], pose["t"],
+                                 max_corr_dist=0.2 * diam,
+                                 max_iter=self._icp_iters)
         return {"R": icp["R"], "t": icp["t"],
                 "n_inliers": pose["n_inliers"],
                 "overlap12": out["overlap12"], "overlap21": out["overlap21"],

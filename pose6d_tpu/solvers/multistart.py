@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.masking import masked_mean
-from .icp import icp_point2point
+from .icp import icp_cloud_to_model
 
 
 def _axis_angle(axis, angle):
@@ -87,9 +87,9 @@ def disambiguate_pose(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
     Rs, ts = flip_hypotheses(cad_xyz, cad_valid, R0, t0)
 
     def refine(Rh, th):
-        icp = icp_point2point(cad_xyz, cad_valid, pc_xyz, pc_valid,
-                              Rh, th, max_corr_dist=0.2 * diam,
-                              max_iter=icp_iters)
+        icp = icp_cloud_to_model(cad_xyz, cad_valid, pc_xyz, pc_valid,
+                                 Rh, th, max_corr_dist=0.2 * diam,
+                                 max_iter=icp_iters)
         return icp["R"], icp["t"]
 
     Rr, tr = jax.vmap(refine)(Rs, ts)
@@ -125,9 +125,9 @@ def disambiguate_pose_depth(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
     Rs, ts = flip_hypotheses(cad_xyz, cad_valid, R0, t0)
 
     def refine(Rh, th):
-        icp = icp_point2point(cad_xyz, cad_valid, pc_xyz, pc_valid,
-                              Rh, th, max_corr_dist=0.2 * diam,
-                              max_iter=icp_iters)
+        icp = icp_cloud_to_model(cad_xyz, cad_valid, pc_xyz, pc_valid,
+                                 Rh, th, max_corr_dist=0.2 * diam,
+                                 max_iter=icp_iters)
         return icp["R"], icp["t"]
 
     Rr, tr = jax.vmap(refine)(Rs, ts)

@@ -30,7 +30,7 @@ import numpy as np
 from ..data.ply import write_ply_points
 from ..ops.masking import pad_to
 from ..solvers import (disambiguate_pose_depth, gnc_tls_pose,
-                       icp_point2point, ransac_pose)
+                       icp_cloud_to_model, icp_point2point, ransac_pose)
 from . import metrics as metrics_mod
 
 NUM_OBJ = 15  # reference test_RANSAC.py:353
@@ -119,16 +119,22 @@ def _pose_chunk(keys, src, dst, pvalid, cad, cad_valid, pc, pc_valid,
 
     pre = score_all(T_est, T_gt)
 
-    # ICP refinement (protocol target: GT-posed CAD; production: pc)
+    # ICP refinement (protocol target: GT-posed CAD; production: pc).
+    # Full-to-full CAD refinement uses the plain point-to-point scan;
+    # the sensor-cloud target matches observed points onto the model
+    # instead (icp_cloud_to_model) — src=CAD against a partial view
+    # drags the pose toward the camera (see solvers/icp.py).
     if icp_target == "gt_cad":
         tgt = jax.vmap(metrics_mod.transform)(cad, T_gt)
-        tgt_valid = cad_valid
+        icp = jax.vmap(lambda c, cv, g, gv, R0, t0: icp_point2point(
+            c, cv, g, gv, R0, t0, max_corr_dist=icp_threshold,
+            max_iter=icp_max_iter))(cad, cad_valid, tgt, cad_valid,
+                                    R_init, t_init)
     else:
-        tgt, tgt_valid = pc, pc_valid
-    icp = jax.vmap(lambda c, cv, g, gv, R0, t0: icp_point2point(
-        c, cv, g, gv, R0, t0, max_corr_dist=icp_threshold,
-        max_iter=icp_max_iter))(cad, cad_valid, tgt, tgt_valid,
-                                R_init, t_init)
+        icp = jax.vmap(lambda c, cv, g, gv, R0, t0: icp_cloud_to_model(
+            c, cv, g, gv, R0, t0, max_corr_dist=icp_threshold,
+            max_iter=icp_max_iter))(cad, cad_valid, pc, pc_valid,
+                                    R_init, t_init)
     T_icp = jax.vmap(to_T)(icp["R"].astype(f32), icp["t"].astype(f32))
     post = score_all(T_icp, T_gt)
 

@@ -230,6 +230,43 @@ class TestICP:
                               max_corr_dist=0.5, max_iter=5)
         assert rot_angle_deg(np.eye(3), np.asarray(res["R"])) < 1e-3
 
+    def test_partial_view_bias_and_cloud_to_model_fix(self):
+        """Production refinement against a PARTIAL observed cloud.
+
+        src=CAD -> tgt=partial-view ICP is biased: unobserved-side CAD
+        points pair with the visible shell within the gate and drag the
+        pose off the truth (measured ~2 cm z-drift from a GT init at
+        production shapes). icp_cloud_to_model matches observed points
+        onto the model instead and must stay at the true pose. The
+        fixture is a camera-facing half of a unit sphere surface (one
+        observed side), a dense full model cloud, and a GT init."""
+        from pose6d_tpu.solvers import icp_cloud_to_model
+        rng = np.random.default_rng(7)
+        full = rng.normal(size=(1200, 3)).astype(np.float32)
+        full /= np.linalg.norm(full, axis=1, keepdims=True)
+        R = random_rotation(rng)
+        t = np.array([0.3, -0.2, 5.0], np.float32)
+        cam = (full @ R.T + t).astype(np.float32)
+        vis = cam[:, 2] < np.median(cam[:, 2])   # camera-facing half
+        pc = cam[vis]
+        res = icp_cloud_to_model(
+            jnp.asarray(full), jnp.ones(len(full), bool),
+            jnp.asarray(pc), jnp.ones(len(pc), bool),
+            jnp.asarray(R), jnp.asarray(t),
+            max_corr_dist=0.4, max_iter=30)
+        assert rot_angle_deg(R, np.asarray(res["R"])) < 1.0
+        drift = np.linalg.norm(np.asarray(res["t"]) - t)
+        assert drift < 0.02, drift
+        # and the old direction really is biased on this fixture — the
+        # regression this test exists to keep out
+        old = icp_point2point(
+            jnp.asarray(full), jnp.ones(len(full), bool),
+            jnp.asarray(pc), jnp.ones(len(pc), bool),
+            jnp.asarray(R), jnp.asarray(t),
+            max_corr_dist=0.4, max_iter=30)
+        old_drift = np.linalg.norm(np.asarray(old["t"]) - t)
+        assert old_drift > 5 * drift, (old_drift, drift)
+
 
 def make_fmap_problem(rng, v1=300, v2=150, k=30):
     """Shape-x with a known partial correspondence to shape-y via an
