@@ -192,16 +192,38 @@ def main(profile_dir: str | None = None):
                                    batch["diam_cad"], keys,
                                    fb["K"], fb["obs_z"], fb["mask"])
 
+    def run_and_fetch(key):
+        """Execute one pipeline batch and FORCE a value round-trip.
+
+        jax.block_until_ready on this tunneled single-chip backend
+        returns once the work is *enqueued*, not completed (measured:
+        a 1 s device program "blocks" in ~1 ms), so timing loops built
+        on it report dispatch rate, not throughput — the BENCH_r01-r03
+        values were inflated this way. Fetching a (tiny) output value
+        cannot complete before the device program has, so this is the
+        honest steady-state number; the old dispatch rate is kept in
+        meta for cross-round continuity.
+        """
+        o = pipeline(batch, fb, key)
+        np.asarray(o["t"])   # value fetch == real completion barrier
+        return o
+
     t0 = time.time()
-    out = jax.block_until_ready(pipeline(batch, fb, jax.random.PRNGKey(0)))
+    out = run_and_fetch(jax.random.PRNGKey(0))
     compile_s = time.time() - t0
 
     t0 = time.time()
     for i in range(N_ITERS):
-        out = jax.block_until_ready(
-            pipeline(batch, fb, jax.random.PRNGKey(i + 1)))
+        out = run_and_fetch(jax.random.PRNGKey(i + 1))
     dt = (time.time() - t0) / N_ITERS
     fps = B / dt
+
+    # dispatch-only rate (what block_until_ready used to measure)
+    t0 = time.time()
+    for i in range(N_ITERS):
+        jax.block_until_ready(pipeline(batch, fb, jax.random.PRNGKey(i)))
+    dispatch_fps = B / ((time.time() - t0) / N_ITERS)
+    np.asarray(pipeline(batch, fb, jax.random.PRNGKey(0))["t"])  # drain
 
     if profile_dir:
         # One traced steady-state iteration of the fused pipeline, plus
@@ -211,11 +233,20 @@ def main(profile_dir: str | None = None):
         # exceed the fused time by design; the ratio between them is the
         # measured fusion win. Open the trace in Perfetto/XProf.
         from pose6d_tpu.utils.profiling import StageTimer, profile_trace
+
+        def synced(x):
+            """Fetch the smallest output leaf — an honest completion
+            barrier that doesn't distort the timing with large
+            transfers (block_until_ready only measures dispatch on
+            this backend; see run_and_fetch)."""
+            leaves = jax.tree_util.tree_leaves(x)
+            np.asarray(min(leaves, key=lambda a: a.size))
+            return x
+
         timer = StageTimer()
         with profile_trace(profile_dir):
-            with timer("pipeline_fused", sync_value=True):
-                jax.block_until_ready(
-                    pipeline(batch, fb, jax.random.PRNGKey(99)))
+            with timer("pipeline_fused"):
+                synced(pipeline(batch, fb, jax.random.PRNGKey(99)))
 
         fwd = jax.jit(jax.vmap(lambda c, p: model.apply(params, c, p)))
         solver = jax.jit(jax.vmap(
@@ -250,24 +281,24 @@ def main(profile_dir: str | None = None):
             batch["cad"], batch["pc"], ic["R"], ic["t"],
             batch["diam_cad"], fb["K"], fb["obs_z"], fb["mask"]))
         for _ in range(3):
-            with timer("1_forward", sync_value=True):
-                o = jax.block_until_ready(fwd(batch["cad"], batch["pc"]))
-            with timer("2_spatial_filter", sync_value=True):
-                prs, pvs = jax.block_until_ready(solver(
+            with timer("1_forward"):
+                o = synced(fwd(batch["cad"], batch["pc"]))
+            with timer("2_spatial_filter"):
+                prs, pvs = synced(solver(
                     o["C"], batch["cad"], batch["pc"], batch["diam_cad"]))
             src = jnp.take_along_axis(batch["cad"]["xyz"],
                                       prs[:, 0][..., None], axis=1)
             dst = jnp.take_along_axis(batch["pc"]["xyz"],
                                       prs[:, 1][..., None], axis=1)
-            with timer("3_ransac", sync_value=True):
-                po = jax.block_until_ready(ransac_b(
+            with timer("3_ransac"):
+                po = synced(ransac_b(
                     keys, src, dst, pvs, batch["diam_cad"]))
-            with timer("4_icp", sync_value=True):
-                ic = jax.block_until_ready(icp_b(
+            with timer("4_icp"):
+                ic = synced(icp_b(
                     batch["cad"], batch["pc"], po["R"], po["t"],
                     batch["diam_cad"]))
-            with timer("5_disambiguate", sync_value=True):
-                jax.block_until_ready(disamb_b(
+            with timer("5_disambiguate"):
+                synced(disamb_b(
                     batch["cad"], batch["pc"], ic["R"], ic["t"],
                     batch["diam_cad"], fb["K"], fb["obs_z"], fb["mask"]))
         summary = {"batch": B, "platform": jax.devices()[0].platform,
@@ -281,7 +312,7 @@ def main(profile_dir: str | None = None):
     # accuracy vs synthetic GT
     Rb = np.asarray(out["R"])
     tb = np.asarray(out["t"])
-    rot_errs, adds_scores, add_scores = [], [], []
+    rot_errs, adds_scores, add_scores, obj_ids = [], [], [], []
     for i in range(B):
         R_gt = np.asarray(batch["R_m2c"][i])
         t_gt = np.asarray(batch["t_m2c"][i])
@@ -298,6 +329,7 @@ def main(profile_dir: str | None = None):
         _, s2 = metrics.add_score(jnp.asarray(T_est), jnp.asarray(T_gt),
                                   pts, diam, valid)
         add_scores.append(float(s2))
+        obj_ids.append(int(np.asarray(batch["obj_id"][i])))
 
     # e2e bf16 data-parallel training throughput (BASELINE config 5);
     # single local chip here -> plain jit (the sharded path is exercised
@@ -308,11 +340,11 @@ def main(profile_dir: str | None = None):
     state = init_fn(tkey, batch)
     tstep = jax.jit(step_fn)
     state, logs = tstep(state, batch, tkey)   # compile
-    jax.block_until_ready(logs["loss"])
+    float(logs["loss"])
     t0 = time.time()
     for i in range(N_TRAIN_ITERS):
         state, logs = tstep(state, batch, jax.random.fold_in(tkey, i))
-    jax.block_until_ready(logs["loss"])
+    float(logs["loss"])   # value fetch: honest completion barrier
     train_sps = N_TRAIN_ITERS / (time.time() - t0)
 
     meta = {"setup_s": round(setup_s, 1), "compile_s": round(compile_s, 1),
@@ -321,8 +353,24 @@ def main(profile_dir: str | None = None):
             "adds_score_mean": round(float(np.mean(adds_scores)), 3),
             "add_score_mean": round(float(np.mean(add_scores)), 3),
             "rot_err_deg_median": round(float(np.median(rot_errs)), 2),
+            # per-object rows: obj_5 is rotationally near-symmetric, so
+            # its plain ADD is structurally ~0 even at a perfect pose
+            # (the reference reports ADD-S for such objects) — pooled
+            # means understate obj_1. Keys: per_obj[obj_id] = [ADD,
+            # ADD-S, median rot err deg].
+            "per_obj": {
+                str(o): [
+                    round(float(np.mean([a for a, q in zip(add_scores, obj_ids) if q == o])), 3),
+                    round(float(np.mean([a for a, q in zip(adds_scores, obj_ids) if q == o])), 3),
+                    round(float(np.median([r for r, q in zip(rot_errs, obj_ids) if q == o])), 2),
+                ] for o in sorted(set(obj_ids))},
             "train_steps_per_sec": round(train_sps, 2),
             "train_frames_per_sec": round(train_sps * B, 1),
+            "dispatch_frames_per_sec": round(dispatch_fps, 1),
+            "timing_note": ("value-fetch barrier; rounds 1-3 used "
+                            "block_until_ready, which only measures "
+                            "dispatch rate on this backend (that rate "
+                            "is dispatch_frames_per_sec)"),
             "device": jax.devices()[0].device_kind}
     print(json.dumps({
         "metric": "frames_per_sec_per_chip_full_pipeline",
