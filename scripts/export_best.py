@@ -5,6 +5,10 @@
 import json, sys
 from pathlib import Path
 
+# `python scripts/export_best.py` puts scripts/ (not the repo root) on
+# sys.path; make the package importable regardless of invocation dir.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 cfg_path, run, probe, out = sys.argv[1:5]
 rows = [json.loads(l) for l in open(probe)]
 rows = [r for r in rows if "mean_ir" in r]
