@@ -62,14 +62,19 @@ def gnc_tls_pose(src, dst, valid, noise_bound: float = 0.05,
     if key is None:
         R0, t0 = kabsch_umeyama(src, dst, v)
     else:
-        logits = jnp.where(valid, 0.0, -jnp.inf)
         # Ceil-division so the drawn hypothesis count is never BELOW the
         # requested one (the 1-(1-p^3)^H coverage math quoted above is in
         # terms of init_hypotheses); the overshoot rows of the last block
-        # are masked out of the argmax.
+        # are masked out of the argmax. Uniform ints into a compacted
+        # valid-index table instead of jax.random.categorical, whose
+        # Gumbel trick would materialize an (n_blocks, init_block, 3, N)
+        # tensor.
         n_blocks = -(-init_hypotheses // init_block)
-        samples = jax.random.categorical(
-            key, logits, shape=(n_blocks, init_block, 3))
+        valid_idx = jnp.argsort(~valid)
+        n_valid_i = jnp.maximum(jnp.sum(valid).astype(jnp.int32), 1)
+        u = jax.random.uniform(key, (n_blocks, init_block, 3))
+        samples = valid_idx[jnp.minimum(
+            (u * n_valid_i.astype(f32)).astype(jnp.int32), n_valid_i - 1)]
         live = (jnp.arange(n_blocks * init_block)
                 < init_hypotheses).reshape(n_blocks, init_block)
 

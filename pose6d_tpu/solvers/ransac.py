@@ -56,17 +56,25 @@ def ransac_pose(key, src, dst, valid, threshold: float = 0.05,
     dst = dst.astype(f32)
     hyp_block = min(hyp_block, n_hypotheses)
     n_blocks = -(-n_hypotheses // hyp_block)
-    logits = jnp.where(valid, 0.0, -jnp.inf)
     n_valid = jnp.maximum(jnp.sum(valid.astype(f32)), 1.0)
     vmask = valid.astype(f32)
+    # valid indices compacted to the front (argsort of the inverted
+    # mask is stable, so order within the valid set is preserved);
+    # drawing uniform ints into this table replaces the old
+    # jax.random.categorical draw, whose Gumbel trick materialized a
+    # (hyp_block, sample_size, N) tensor per block.
+    valid_idx = jnp.argsort(~valid)
+    n_valid_i = jnp.sum(valid).astype(jnp.int32)
 
     def solve_one(idx):
         return kabsch_umeyama(src[idx], dst[idx])
 
     def run_block(key):
         """Draw, solve and score one block; return its best hypothesis."""
-        samples = jax.random.categorical(
-            key, logits, shape=(hyp_block, sample_size))
+        u = jax.random.uniform(key, (hyp_block, sample_size))
+        slots = (u * n_valid_i.astype(f32)).astype(jnp.int32)
+        slots = jnp.minimum(slots, jnp.maximum(n_valid_i - 1, 0))
+        samples = valid_idx[slots]
         Rs, ts = jax.vmap(solve_one)(samples)       # (B,3,3), (B,3)
         pred = jnp.einsum("hij,nj->hni", Rs, src) + ts[:, None, :]
         d2 = jnp.sum((pred - dst[None]) ** 2, axis=-1)

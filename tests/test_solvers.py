@@ -52,6 +52,32 @@ class TestKabsch:
         assert np.isfinite(np.asarray(R)).all()
         assert abs(np.linalg.det(np.asarray(R)) - 1) < 1e-4
 
+    def test_quat_matches_svd(self):
+        # the default Horn-quaternion rotation extraction (fixed-sweep
+        # 4x4 Jacobi; no batched 3x3 SVD, which XLA lowers to a serial
+        # iterative routine on TPU) must agree with the classical SVD
+        # form — including when the optimum needs the det correction
+        # (mirrored data) and under soft weights.
+        rng = np.random.default_rng(7)
+        for trial in range(20):
+            src = rng.normal(size=(32, 3)).astype(np.float32)
+            if trial % 3 == 0:
+                dst = (src @ np.diag([1, 1, -1.0]).T).astype(np.float32)
+            else:
+                R = random_rotation(rng)
+                dst = (src @ R.T + rng.normal(size=3)
+                       + rng.normal(size=(32, 3)) * 0.05).astype(np.float32)
+            w = (jnp.asarray(rng.uniform(0, 1, 32).astype(np.float32))
+                 if trial % 2 else None)
+            Rq, tq = kabsch_umeyama(jnp.asarray(src), jnp.asarray(dst),
+                                    w, method="quat")
+            Rs, ts = kabsch_umeyama(jnp.asarray(src), jnp.asarray(dst),
+                                    w, method="svd")
+            np.testing.assert_allclose(np.asarray(Rq), np.asarray(Rs),
+                                       atol=2e-5)
+            np.testing.assert_allclose(np.asarray(tq), np.asarray(ts),
+                                       atol=2e-4)
+
     def test_matches_scipy_procrustes(self):
         from scipy.spatial.transform import Rotation
         rng = np.random.default_rng(2)
