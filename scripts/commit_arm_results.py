@@ -31,6 +31,8 @@ BASELINE = {5: 0.1315, 6: 0.1885, 8: 0.2971, 11: 0.1857, 12: 0.0941}
 def collect_irs(eval_dir: Path):
     per_obj: dict[int, list[float]] = {}
     for f in sorted(eval_dir.rglob("result_*.npz")):
+        if "all_results" in f.parts:   # merged copies for the joint pose
+            continue                   # stage — don't double-count
         r = np.load(f)
         per_obj.setdefault(int(r["obj_id"]), []).append(float(r["ir"]))
     return {k: float(np.mean(v)) for k, v in sorted(per_obj.items())}, \
