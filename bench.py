@@ -48,8 +48,12 @@ from pose6d_tpu.train import metrics  # noqa: E402
 
 N_FRAMES = 8      # distinct poses per object
 BENCH_OBJS = (1, 5)   # the two objects the bench checkpoint trained on
-N_ITERS = 4
-TTA_ROTATIONS = 4   # rotation-TTA candidates in the frame pipeline
+N_ITERS = 8
+# rotation-TTA candidates in the frame pipeline. Default 0 = the
+# api.Predictor production default (TTA is an opt-in eval-time recipe,
+# api.py:53); set POSE6D_BENCH_TTA=4 to bench the TTA recipe instead
+# (~2.5x the cost: each extra candidate re-runs encoder + filter).
+TTA_ROTATIONS = int(os.environ.get("POSE6D_BENCH_TTA", "0"))
 N_TRAIN_ITERS = 8
 MODELS_DIR = "/root/reference/sample-data/lm/models"
 WEIGHTS = os.environ.get(
@@ -167,12 +171,12 @@ def main(profile_dir: str | None = None):
     n_fmap = 30
 
     def one_frame(cad, pc, diam, key, K, obs_z, mask):
-        # the production inference recipe (api.Predictor defaults plus
-        # rotation TTA): candidate maps -> depth-evidence winner select
-        # -> observed-cloud ICP -> flip disambiguation. TTA engages only
-        # on weak base maps (select_trigger), so strong frames pay one
-        # extra spatial filter, weak frames get the rotated re-encodes
-        # that rescue globally-consistent-but-rotated maps.
+        # the production inference recipe (api.Predictor defaults):
+        # forward -> spatial filter -> adaptive RANSAC -> observed-cloud
+        # ICP -> flip disambiguation. With POSE6D_BENCH_TTA>1 the
+        # opt-in rotation-TTA recipe is benched instead: candidate maps
+        # -> depth-evidence winner select (engages only on weak base
+        # maps) -> ICP -> disambiguation.
         sel = candidate_select_pose(
             lambda c, q: model.apply(params, c, q), cad, pc, diam, key,
             K, obs_z, mask, n_fmap=n_fmap, tta_rotations=TTA_ROTATIONS,
@@ -201,7 +205,7 @@ def main(profile_dir: str | None = None):
         on it report dispatch rate, not throughput — the BENCH_r01-r03
         values were inflated this way. Fetching a (tiny) output value
         cannot complete before the device program has, so this is the
-        honest steady-state number; the old dispatch rate is kept in
+        honest completion barrier; the old dispatch rate is kept in
         meta for cross-round continuity.
         """
         o = pipeline(batch, fb, key)
@@ -212,11 +216,24 @@ def main(profile_dir: str | None = None):
     out = run_and_fetch(jax.random.PRNGKey(0))
     compile_s = time.time() - t0
 
+    # Throughput: dispatch N_ITERS batches back-to-back and fetch only
+    # the LAST output. The device executes enqueued programs in order,
+    # so the final value cannot arrive before every batch has run —
+    # this amortizes the host<->device tunnel round-trip over the whole
+    # window instead of paying it per batch (which would measure tunnel
+    # latency, not chip throughput).
     t0 = time.time()
-    for i in range(N_ITERS):
-        out = run_and_fetch(jax.random.PRNGKey(i + 1))
+    outs = [pipeline(batch, fb, jax.random.PRNGKey(i + 1))
+            for i in range(N_ITERS)]
+    np.asarray(outs[-1]["t"])   # ordered queue: barriers all N_ITERS
     dt = (time.time() - t0) / N_ITERS
     fps = B / dt
+    out = outs[-1]
+
+    # single-batch latency (dispatch -> value on host), for serving
+    t0 = time.time()
+    run_and_fetch(jax.random.PRNGKey(0))
+    latency_s = time.time() - t0
 
     # dispatch-only rate (what block_until_ready used to measure)
     t0 = time.time()
@@ -364,13 +381,24 @@ def main(profile_dir: str | None = None):
                     round(float(np.mean([a for a, q in zip(adds_scores, obj_ids) if q == o])), 3),
                     round(float(np.median([r for r, q in zip(rot_errs, obj_ids) if q == o])), 2),
                 ] for o in sorted(set(obj_ids))},
+            # which path produced each pose: TTA candidate id (0 = base
+            # map) and flip-disambiguation hypothesis id (0 = keep) —
+            # localizes accuracy movement to selection vs disambiguation
+            "candidate_ids": np.asarray(out["candidate"]).tolist(),
+            "flip_ids": np.asarray(out["flip_hypothesis"]).tolist(),
+            "rot_err_deg": [round(r, 1) for r in rot_errs],
+            "tta_rotations": TTA_ROTATIONS,
+            "latency_s_per_batch": round(latency_s, 3),
             "train_steps_per_sec": round(train_sps, 2),
             "train_frames_per_sec": round(train_sps * B, 1),
             "dispatch_frames_per_sec": round(dispatch_fps, 1),
-            "timing_note": ("value-fetch barrier; rounds 1-3 used "
-                            "block_until_ready, which only measures "
-                            "dispatch rate on this backend (that rate "
-                            "is dispatch_frames_per_sec)"),
+            "timing_note": ("amortized value-fetch barrier over "
+                            f"{N_ITERS} back-to-back batches; rounds "
+                            "1-3 used block_until_ready, which only "
+                            "measures dispatch rate on this backend "
+                            "(kept as dispatch_frames_per_sec). "
+                            "Pipeline = api.Predictor defaults "
+                            "(TTA off unless POSE6D_BENCH_TTA is set)."),
             "device": jax.devices()[0].device_kind}
     print(json.dumps({
         "metric": "frames_per_sec_per_chip_full_pipeline",
