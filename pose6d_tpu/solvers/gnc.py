@@ -22,7 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .kabsch import kabsch_umeyama, transform_residuals
+from .kabsch import kabsch_umeyama, transform_residuals, triad_rigid
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "init_hypotheses",
@@ -80,10 +80,21 @@ def gnc_tls_pose(src, dst, valid, noise_bound: float = 0.05,
 
         def score_block(args):
             block_samples, block_live = args
+            # closed-form 3-point triad instead of per-hypothesis
+            # Kabsch — the batched eigensolve was the measured block
+            # bottleneck (see solvers/kabsch.triad_rigid)
             Rs, ts = jax.vmap(
-                lambda i: kabsch_umeyama(src[i], dst[i]))(block_samples)
-            pred = jnp.einsum("hij,nj->hni", Rs, src) + ts[:, None, :]
-            d2 = jnp.sum((pred - dst[None]) ** 2, axis=-1)
+                lambda i: triad_rigid(src[i], dst[i]))(block_samples)
+            # K=3 contraction unrolled into (block, N) planes — the
+            # einsum form lowers to an MXU-padded 3-wide dot_general,
+            # measured ~100x off SoL (see solvers/ransac.py:run_block).
+            d2 = jnp.zeros((Rs.shape[0], src.shape[0]), f32)
+            for i in range(3):
+                pred_i = (Rs[:, i, 0, None] * src[None, :, 0]
+                          + Rs[:, i, 1, None] * src[None, :, 1]
+                          + Rs[:, i, 2, None] * src[None, :, 2]
+                          + ts[:, i, None])
+                d2 = d2 + (pred_i - dst[None, :, i]) ** 2
             counts = jnp.sum((d2 < eps2) * v[None], axis=1)
             counts = jnp.where(block_live, counts, -1.0)
             b = jnp.argmax(counts)

@@ -107,11 +107,12 @@ def disambiguate_pose(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
             "hypothesis": best, "all_scores": scores}
 
 
-@functools.partial(jax.jit, static_argnames=("icp_iters", "stride"))
+@functools.partial(jax.jit,
+                   static_argnames=("icp_iters", "stride", "bank_iters"))
 def disambiguate_pose_depth(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
                             diam, K, observed_z, mask,
                             icp_iters: int = 15, stride: int = 4,
-                            margin: float = 0.25):
+                            margin: float = 0.25, bank_iters: int = 5):
     """Flip disambiguation ranked by depth-image consistency.
 
     Geometric one-way distances tie on near-symmetric shapes (measured:
@@ -120,17 +121,26 @@ def disambiguate_pose_depth(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
     (solvers/verify_pose.py) uses exactly the evidence symmetry cannot
     fake. observed_z (H, W) in the same units as the CAD (cm), 0 where
     invalid; mask = instance mask.
+
+    Two-phase refinement: the 6-hypothesis bank gets a coarse
+    `bank_iters`-step ICP — flip hypotheses differ by 90-180 degrees,
+    so ranking is insensitive to the residual few-mm ICP tail — and
+    only the depth-selected winner is refined the remaining
+    `icp_iters - bank_iters` steps. The bank ICP was the disambiguation
+    stage's dominant cost (6 x 15 NN rounds -> 6 x 5 + 10;
+    docs/prof_tpu/stage_summary_postfix.json: 191 ms/16-frame batch).
     """
     from .verify_pose import depth_consistency_score
     Rs, ts = flip_hypotheses(cad_xyz, cad_valid, R0, t0)
+    bank_iters = min(bank_iters, icp_iters)
 
-    def refine(Rh, th):
+    def refine(Rh, th, iters):
         icp = icp_cloud_to_model(cad_xyz, cad_valid, pc_xyz, pc_valid,
                                  Rh, th, max_corr_dist=0.2 * diam,
-                                 max_iter=icp_iters)
+                                 max_iter=iters)
         return icp["R"], icp["t"]
 
-    Rr, tr = jax.vmap(refine)(Rs, ts)
+    Rr, tr = jax.vmap(lambda R, t: refine(R, t, bank_iters))(Rs, ts)
     scores = jax.vmap(
         lambda Rh, th: depth_consistency_score(
             cad_xyz, cad_valid, Rh, th, K, observed_z, mask, diam,
@@ -139,5 +149,8 @@ def disambiguate_pose_depth(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
     # clearly better — near-ties are rendering noise, not evidence
     handicapped = scores.at[1:].multiply(1.0 + margin)
     best = jnp.argmin(handicapped)
-    return {"R": Rr[best], "t": tr[best], "score": scores[best],
+    R_w, t_w = Rr[best], tr[best]
+    if icp_iters > bank_iters:
+        R_w, t_w = refine(R_w, t_w, icp_iters - bank_iters)
+    return {"R": R_w, "t": t_w, "score": scores[best],
             "hypothesis": best, "all_scores": scores}

@@ -26,14 +26,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .kabsch import kabsch_umeyama, transform_residuals
+from .kabsch import kabsch_umeyama, transform_residuals, triad_rigid
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_hypotheses", "sample_size",
                                     "refit_rounds", "hyp_block"))
 def ransac_pose(key, src, dst, valid, threshold: float = 0.05,
-                n_hypotheses: int = 131072, sample_size: int = 4,
+                n_hypotheses: int = 131072, sample_size: int = 3,
                 refit_rounds: int = 2, hyp_block: int = 1024,
                 confidence: float = 0.999):
     """Robust (R, t) from putative correspondences.
@@ -67,6 +67,12 @@ def ransac_pose(key, src, dst, valid, threshold: float = 0.05,
     n_valid_i = jnp.sum(valid).astype(jnp.int32)
 
     def solve_one(idx):
+        # minimal 3-point triad: closed-form, no per-hypothesis
+        # eigensolve (the measured RANSAC-stage bottleneck on TPU; see
+        # kabsch.triad_rigid). 3-point sampling also tightens the
+        # adaptive bound: success prob eps^3 vs eps^4 per trial.
+        if sample_size == 3:
+            return triad_rigid(src[idx], dst[idx])
         return kabsch_umeyama(src[idx], dst[idx])
 
     def run_block(key):
@@ -76,8 +82,20 @@ def ransac_pose(key, src, dst, valid, threshold: float = 0.05,
         slots = jnp.minimum(slots, jnp.maximum(n_valid_i - 1, 0))
         samples = valid_idx[slots]
         Rs, ts = jax.vmap(solve_one)(samples)       # (B,3,3), (B,3)
-        pred = jnp.einsum("hij,nj->hni", Rs, src) + ts[:, None, :]
-        d2 = jnp.sum((pred - dst[None]) ** 2, axis=-1)
+        # Residual scoring with the K=3 contraction unrolled into
+        # (block, N) planes: einsum("hij,nj->hni") materialized a
+        # (block, N, 3) tensor through a 3-wide dot_general that XLA
+        # pads onto the MXU — measured 160 ms/block on v5e, ~100x off
+        # SoL, and the dominant cost of the whole RANSAC stage
+        # (docs/prof_tpu/stage_summary_postfix.json). The unrolled form
+        # is 9 broadcast FMAs on the VPU with (block, N) peak memory.
+        d2 = jnp.zeros((Rs.shape[0], src.shape[0]), f32)
+        for i in range(3):
+            pred_i = (Rs[:, i, 0, None] * src[None, :, 0]
+                      + Rs[:, i, 1, None] * src[None, :, 1]
+                      + Rs[:, i, 2, None] * src[None, :, 2]
+                      + ts[:, i, None])
+            d2 = d2 + (pred_i - dst[None, :, i]) ** 2
         counts = jnp.sum((d2 < threshold * threshold) * vmask[None], axis=1)
         b = jnp.argmax(counts)
         return Rs[b], ts[b], counts[b]

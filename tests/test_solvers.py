@@ -78,6 +78,32 @@ class TestKabsch:
             np.testing.assert_allclose(np.asarray(tq), np.asarray(ts),
                                        atol=2e-4)
 
+    def test_triad_minimal_solver(self):
+        """triad_rigid (the RANSAC/GNC hypothesis generator): exact on
+        noise-free minimal samples — equal to least-squares Kabsch —
+        and finite (not NaN) on degenerate collinear triples."""
+        from pose6d_tpu.solvers.kabsch import triad_rigid
+        rng = np.random.default_rng(11)
+        for _ in range(10):
+            R = random_rotation(rng)
+            t = rng.normal(size=3).astype(np.float32)
+            src = rng.normal(size=(3, 3)).astype(np.float32)
+            dst = (src @ R.T + t).astype(np.float32)
+            Rt, tt = triad_rigid(jnp.asarray(src), jnp.asarray(dst))
+            Rk, tk = kabsch_umeyama(jnp.asarray(src), jnp.asarray(dst))
+            np.testing.assert_allclose(np.asarray(Rt), R, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(Rt), np.asarray(Rk),
+                                       atol=1e-4)
+            np.testing.assert_allclose(np.asarray(tt), t, atol=1e-4)
+            # proper rotation
+            assert abs(np.linalg.det(np.asarray(Rt)) - 1.0) < 1e-4
+        # collinear triple: meaningless but finite output
+        src = np.stack([np.zeros(3), np.ones(3), 2 * np.ones(3)]).astype(
+            np.float32)
+        Rt, tt = triad_rigid(jnp.asarray(src), jnp.asarray(src))
+        assert np.all(np.isfinite(np.asarray(Rt)))
+        assert np.all(np.isfinite(np.asarray(tt)))
+
     def test_matches_scipy_procrustes(self):
         from scipy.spatial.transform import Rotation
         rng = np.random.default_rng(2)
@@ -115,11 +141,14 @@ class TestRansac:
     def test_low_inlier_ratio_stress(self):
         """At the reference's real-data inlier ratios (~0.10, BASELINE.md)
         the adaptive confidence loop must keep drawing hypotheses until the
-        standard RANSAC bound (~46k trials at IR=0.10, conf=0.999) is met
-        — the failure mode VERDICT r1 flagged for a fixed 8192-draw budget
-        (success would be ~56%). 5/5 recoveries here ~= >=99% success.
-        n=1000 keeps the CPU-CI cost bounded; the trial bound (and its
-        assertion below) depends only on the inlier *ratio*, not N."""
+        standard RANSAC bound is met — the failure mode VERDICT r1 flagged
+        for a fixed 8192-draw budget. With the minimal 3-point triad
+        sampler the bound at IR=0.10, conf=0.999 is
+        log(1e-3)/log(1-1e-3) ~= 6903 trials (eps^3 per-trial success —
+        8x fewer than the old 4-point sampler needed for the same
+        confidence). 5/5 recoveries here ~= >=99% success. n=1000 keeps
+        the CPU-CI cost bounded; the trial bound (and its assertion
+        below) depends only on the inlier *ratio*, not N."""
         rng = np.random.default_rng(0)
         R = random_rotation(rng)
         t = rng.normal(size=3) * 5
@@ -138,7 +167,8 @@ class TestRansac:
             assert rot_angle_deg(R, np.asarray(res["R"])) < 2.0, f"key {k}"
             np.testing.assert_allclose(np.asarray(res["t"]), t, atol=0.1)
             # the budget must actually have scaled to the low ratio
-            assert int(res["n_trials"]) >= 46000
+            # (>= the 3-point 0.999-confidence bound, rounded to blocks)
+            assert int(res["n_trials"]) >= 6903
 
     def test_adaptive_early_exit_on_clean_data(self):
         """High inlier ratio -> the confidence bound is met after the
