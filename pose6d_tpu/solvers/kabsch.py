@@ -29,13 +29,20 @@ def _jacobi_eig4_maxvec(N, sweeps: int = 8):
 
     Cyclic Jacobi with a FIXED unrolled sweep count (8 sweeps x 6
     pivots; 4x4 Jacobi converges quadratically, machine precision by
-    ~5 sweeps). Everything is index-static scalar arithmetic, so vmap
-    turns it into pure vector code — no while_loop, no gathers.
+    ~5 sweeps), carried entirely in SCALAR registers: the 10 unique
+    entries of the symmetric matrix and the 16 entries of the
+    accumulated rotation, updated by static-index arithmetic per pivot.
+    No 4x4 matmuls, no .at[] scatter, no gathers — under vmap every
+    scalar is a lane vector and XLA fuses the whole chain into a
+    handful of elementwise kernels (the matrix-form G^T N G version
+    cost 172 ms per 8192 solves on v5e; this form is pure VPU math).
     """
-    V = jnp.eye(4, dtype=N.dtype)
+    a = [[N[i, j] for j in range(4)] for i in range(4)]
+    v = [[jnp.ones_like(N[0, 0]) if i == j else jnp.zeros_like(N[0, 0])
+          for j in range(4)] for i in range(4)]
     for _ in range(sweeps):
         for p, q in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)):
-            app, aqq, apq = N[p, p], N[q, q], N[p, q]
+            app, aqq, apq = a[p][p], a[q][q], a[p][q]
             # stable Jacobi rotation angle (handles apq ~ 0)
             tau = (aqq - app) / (2.0 * jnp.where(
                 jnp.abs(apq) < 1e-30, 1e-30, apq))
@@ -44,12 +51,28 @@ def _jacobi_eig4_maxvec(N, sweeps: int = 8):
             tval = jnp.where(jnp.abs(apq) < 1e-30, 0.0, tval)
             c = 1.0 / jnp.sqrt(1.0 + tval * tval)
             s = tval * c
-            G = jnp.eye(4, dtype=N.dtype)
-            G = G.at[p, p].set(c).at[q, q].set(c)
-            G = G.at[p, q].set(s).at[q, p].set(-s)
-            N = G.T @ N @ G
-            V = V @ G
-    return V[:, jnp.argmax(jnp.diagonal(N))]
+            # rotate rows/cols p,q of the symmetric matrix
+            for k in range(4):
+                if k in (p, q):
+                    continue
+                akp, akq = a[k][p], a[k][q]
+                nkp = c * akp - s * akq
+                nkq = s * akp + c * akq
+                a[k][p] = a[p][k] = nkp
+                a[k][q] = a[q][k] = nkq
+            napp = c * c * app - 2.0 * c * s * apq + s * s * aqq
+            naqq = s * s * app + 2.0 * c * s * apq + c * c * aqq
+            a[p][p] = napp
+            a[q][q] = naqq
+            a[p][q] = a[q][p] = jnp.zeros_like(apq)  # annihilated
+            # accumulate V <- V G (columns p, q rotate)
+            for k in range(4):
+                vkp, vkq = v[k][p], v[k][q]
+                v[k][p] = c * vkp - s * vkq
+                v[k][q] = s * vkp + c * vkq
+    diag = jnp.stack([a[0][0], a[1][1], a[2][2], a[3][3]])
+    V = jnp.stack([jnp.stack(row) for row in v])
+    return V[:, jnp.argmax(diag)]
 
 
 def _rotation_from_H_quat(H):
