@@ -153,12 +153,25 @@ class BOPObjectDataset:
     def _gt_correspondences(self, cad_xyz, align_pc, radius):
         import jax.numpy as jnp
         from ..ops import geometry
+
+        # Pad both clouds to 512-multiples so the jitted radius mask
+        # compiles once per bucket, not once per sample: align_pc's
+        # length is unique per frame, and an unpadded call re-tiles and
+        # re-compiles the O(V1*V2) kernel every __getitem__ (~5.5 s of
+        # XLA compile per cached sample — 10x the actual math).
+        def _pad(a):
+            n = len(a)
+            m512 = 512 * ((n + 511) // 512)
+            out = np.zeros((m512, 3), np.float32)
+            out[:n] = a
+            return out, np.arange(m512) < n
+
+        cad_p, cad_v = _pad(cad_xyz)
+        pc_p, pc_v = _pad(align_pc)
         m = geometry.radius_correspondence_mask(
-            jnp.asarray(cad_xyz, jnp.float32),
-            jnp.ones(len(cad_xyz), bool),
-            jnp.asarray(align_pc, jnp.float32),
-            jnp.ones(len(align_pc), bool), radius)
-        m = np.asarray(m)
+            jnp.asarray(cad_p), jnp.asarray(cad_v),
+            jnp.asarray(pc_p), jnp.asarray(pc_v), radius)
+        m = np.asarray(m)[:len(cad_xyz), :len(align_pc)]
         pairs = np.argwhere(m)
         o12 = m.any(axis=1).astype(np.int8)
         o21 = m.any(axis=0).astype(np.int8)
