@@ -31,6 +31,8 @@ def _init_worker(cfg, build_eval: bool, platform: str, n_workers: int = 1):
             os.environ[var] = str(per)
     import jax
     jax.config.update("jax_platforms", platform)
+    from .. import runtime
+    runtime.configure()
     global _DS
     if build_eval:
         from ..train.eval_loop import build_eval_dataset

@@ -77,9 +77,12 @@ class BOPObjectDataset:
         self.pc_lbo_backend = pc_lbo_backend
         self.build_gradients = build_gradients
         self.cache_dir = None
+        self.cache_root = None
         if cache_dir is not None:
+            self.cache_root = Path(cache_dir)
             self.cache_dir = Path(cache_dir) / self.render_data_name / mode
             self.cache_dir.mkdir(parents=True, exist_ok=True)
+        self._cad_hash = {}
         self._models_info = None
         self._collect_obj_data()
 
@@ -178,15 +181,36 @@ class BOPObjectDataset:
         return pairs.astype(np.int64), o12, o21
 
     def cad_operators(self, obj_id: int):
-        """Decimated CAD mesh + spectral operators, cached per object."""
+        """Decimated CAD mesh + spectral operators, cached per object.
+
+        The cache is content-addressed (md5 of the ply file + the build
+        knobs) and shared across datasets under <cache_root>/shared_cad:
+        corpora rendered from the same CAD bank (e.g. the seed-20 and
+        seed-77 LM corpora, or the three eval families) reuse one
+        ~2-minute eigsh build instead of paying it once per dataset dir.
+        Legacy per-dataset CAD_LBO_<id>.npz files are still honored.
+        """
         gsuf = "_grad" if self.build_gradients else ""
+        cad_path = (self.data_root / self.render_data_name / self.models_dir
+                    / f"obj_{obj_id:06d}.ply")
         cache_file = (self.cache_dir / f"CAD_LBO_{obj_id}{gsuf}.npz"
                       if self.cache_dir else None)
         if cache_file is not None and cache_file.exists():
             return dict(np.load(cache_file, allow_pickle=False))
+        shared_file = None
+        if self.cache_root is not None:
+            if obj_id not in self._cad_hash:
+                import hashlib
+                self._cad_hash[obj_id] = hashlib.md5(
+                    cad_path.read_bytes()).hexdigest()[:16]
+            shared_dir = self.cache_root / "shared_cad"
+            shared_file = shared_dir / (
+                f"CAD_LBO_{self._cad_hash[obj_id]}_f{self.target_faces}"
+                f"_k{self.k_eig}{gsuf}.npz")
+            if shared_file.exists():
+                return dict(np.load(shared_file, allow_pickle=False))
+            shared_dir.mkdir(parents=True, exist_ok=True)
         from ..spectral import gradients_to_gather, mesh_operators
-        cad_path = (self.data_root / self.render_data_name / self.models_dir
-                    / f"obj_{obj_id:06d}.ply")
         mesh = read_ply(cad_path)
         verts, faces = decimate_mesh(mesh["verts"], mesh["faces"],
                                      self.target_faces)
@@ -201,7 +225,9 @@ class BOPObjectDataset:
         if self.build_gradients:
             gi, gx, gy = gradients_to_gather(so.gradX, so.gradY)
             out.update(grad_idx=gi, grad_cx=gx, grad_cy=gy)
-        if cache_file is not None:
+        if shared_file is not None:
+            np.savez(shared_file, **out)
+        elif cache_file is not None:
             np.savez(cache_file, **out)
         return out
 

@@ -52,7 +52,9 @@ gen() {  # gen <name> <frames> <seed> <models_dir> <extra...> -- <obj...>
 TRAIN_OBJS="1 2 4 7 9 10 13 14 15"
 HELD_OUT="5 6 8 11 12"
 
-for phase in "${@:-eval base cacheval cache300 shapes big cachebig}"; do
+PHASES=("$@")
+[ ${#PHASES[@]} -eq 0 ] && PHASES=(eval base cacheval cache300 shapes big cachebig)
+for phase in "${PHASES[@]}"; do
 case "$phase" in
 eval)
   gen synth_eval   24 3 "$LM" -- $HELD_OUT
