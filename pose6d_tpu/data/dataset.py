@@ -83,6 +83,12 @@ class BOPObjectDataset:
             self.cache_dir = Path(cache_dir) / self.render_data_name / mode
             self.cache_dir.mkdir(parents=True, exist_ok=True)
         self._cad_hash = {}
+        # in-memory memo: cad_operators is hit once per *sample* by the
+        # loader threads but there are only a handful of objects per
+        # dataset; re-np.load-ing a multi-MB npz per sample costs more
+        # than the rest of the host pipeline (benign if racy: all
+        # writers store identical dicts)
+        self._cad_mem = {}
         self._models_info = None
         self._collect_obj_data()
 
@@ -190,13 +196,18 @@ class BOPObjectDataset:
         ~2-minute eigsh build instead of paying it once per dataset dir.
         Legacy per-dataset CAD_LBO_<id>.npz files are still honored.
         """
+        if obj_id in self._cad_mem:
+            return self._cad_mem[obj_id]
         gsuf = "_grad" if self.build_gradients else ""
         cad_path = (self.data_root / self.render_data_name / self.models_dir
                     / f"obj_{obj_id:06d}.ply")
         cache_file = (self.cache_dir / f"CAD_LBO_{obj_id}{gsuf}.npz"
                       if self.cache_dir else None)
         if cache_file is not None and cache_file.exists():
-            return dict(np.load(cache_file, allow_pickle=False))
+            out = {k: np.ascontiguousarray(v) for k, v in
+                   np.load(cache_file, allow_pickle=False).items()}
+            self._cad_mem[obj_id] = out
+            return out
         shared_file = None
         if self.cache_root is not None:
             if obj_id not in self._cad_hash:
@@ -208,7 +219,10 @@ class BOPObjectDataset:
                 f"CAD_LBO_{self._cad_hash[obj_id]}_f{self.target_faces}"
                 f"_k{self.k_eig}{gsuf}.npz")
             if shared_file.exists():
-                return dict(np.load(shared_file, allow_pickle=False))
+                out = {k: np.ascontiguousarray(v) for k, v in
+                       np.load(shared_file, allow_pickle=False).items()}
+                self._cad_mem[obj_id] = out
+                return out
             shared_dir.mkdir(parents=True, exist_ok=True)
         from ..spectral import gradients_to_gather, mesh_operators
         mesh = read_ply(cad_path)
@@ -229,6 +243,7 @@ class BOPObjectDataset:
             np.savez(shared_file, **out)
         elif cache_file is not None:
             np.savez(cache_file, **out)
+        self._cad_mem[obj_id] = out
         return out
 
     def pc_operators(self, i: int, j: int, pc: np.ndarray):

@@ -183,8 +183,16 @@ def train(cfg, dataset=None, max_steps: int | None = None,
             key, sub = jax.random.split(key)
             state, logs = step(state, batch, sub)
             C = logs.pop("_C")
-            logs = {k: float(v) for k, v in logs.items()}
-            if solver is not None:
+            # One device->host transfer for all scalars: per-scalar
+            # float() casts each pay a tunnel round trip on remote
+            # backends, which dominates the host loop at small batch.
+            logs = {k: float(v) for k, v in
+                    jax.device_get(logs).items()}
+            # The train-IR probe is a diagnostic, not supervision: it
+            # runs a second jitted program + fetch per step. Sample it
+            # at log_interval (its epoch aggregate is a mean anyway).
+            if solver is not None and (
+                    (global_step + 1) % tcfg.log_interval == 0):
                 pairs, pvalid = solver(
                     C, batch["cad"]["evecs"][:, :, :cfg.model.n_fmap],
                     batch["pc"]["evecs"][:, :, :cfg.model.n_fmap],
