@@ -154,6 +154,56 @@ class TestBOPDataset:
         np.testing.assert_array_equal(cad1["evecs"], cad2["evecs"])
         np.testing.assert_array_equal(pc1["evals"], pc2["evals"])
 
+    def test_shared_cad_cache_across_datasets(self, bop_root, small_mesh,
+                                              tmp_path):
+        """Two datasets rendered from the same CAD bank share one
+        content-addressed CAD-LBO build under <cache_root>/shared_cad."""
+        root, R, t, diam = bop_root
+        from bop_fixture import write_bop_scene as wbs
+        from pose6d_tpu.data.dataset import BOPObjectDataset
+        wbs(root, "synth_b", small_mesh, obj_id=7, R=R, t_mm=t,
+            diameter_mm=diam)
+        cache = tmp_path / "cache_shared"
+        ds_a = BOPObjectDataset(root, "synth", cache_dir=cache,
+                                target_faces=2000)
+        cad_a = ds_a.cad_operators(7)
+        shared = list((cache / "shared_cad").glob("CAD_LBO_*.npz"))
+        assert len(shared) == 1, shared
+        ds_b = BOPObjectDataset(root, "synth_b", cache_dir=cache,
+                                target_faces=2000)
+        cad_b = ds_b.cad_operators(7)
+        # still one shared entry (content hash matched), no per-dataset
+        # CAD files written, operators identical
+        assert len(list((cache / "shared_cad").glob("*.npz"))) == 1
+        assert not list(cache.glob("synth*/train_pbr/CAD_LBO_*.npz"))
+        for k in cad_a:
+            np.testing.assert_array_equal(cad_a[k], cad_b[k])
+
+    def test_gt_correspondence_padding_invariant(self, bop_root, tmp_path):
+        """The 512-bucket padding in _gt_correspondences is semantically
+        invisible: results equal the unpadded dense-mask computation."""
+        root, *_ = bop_root
+        import jax.numpy as jnp
+
+        from pose6d_tpu.data.dataset import BOPObjectDataset
+        from pose6d_tpu.ops import geometry
+        ds = BOPObjectDataset(root, "synth", cache_dir=None,
+                              target_faces=2000)
+        cad, pc, obj = ds[0]
+        cad_xyz = np.asarray(cad["xyz"])
+        align_pc = np.asarray(obj["align_pc"])
+        radius = float(obj["diam_cad"]) * 0.05
+        m = np.asarray(geometry.radius_correspondence_mask(
+            jnp.asarray(cad_xyz, jnp.float32),
+            jnp.ones(len(cad_xyz), bool),
+            jnp.asarray(align_pc, jnp.float32),
+            jnp.ones(len(align_pc), bool), radius))
+        np.testing.assert_array_equal(obj["P"], np.argwhere(m))
+        np.testing.assert_array_equal(obj["overlap_12"],
+                                      m.any(axis=1).astype(np.int8))
+        np.testing.assert_array_equal(obj["overlap_21"],
+                                      m.any(axis=0).astype(np.int8))
+
 
 class TestPipeline:
     def test_make_sample_and_collate(self, bop_root, tmp_path):
