@@ -104,6 +104,36 @@ def spatial_filtering_fmap2pointmap(C, evecs_x, evecs_y, cad_xyz, pc_xyz,
     pc_idx = jnp.repeat(jnp.arange(v2, dtype=jnp.int32), k)
     valid = jnp.repeat(y_valid, k)
 
+    if (jax.default_backend() == "tpu" and row_subsample == 0
+            and v2 % 1024 == 0):
+        # Rank-major fast path (pair index = rank * V2 + pc_point): the
+        # PC-side endpoint of pair i is pc_xyz[i mod V2], so the (P, P)
+        # PC distance matrix is the (V2, V2) point table tiled k x k.
+        # Precomputing it halves each pruning round's VPU work (the
+        # measured dominant cost of the whole filter stage on v5e —
+        # docs/prof_tpu/stage_summary.json: 239 of 467 ms/batch).
+        # Same math and f32 precision as the PC-major path below; only
+        # the summation order differs.
+        from ..ops.pallas import consistency_sum_rank_major
+        hi = jax.lax.Precision.HIGH
+        ca_rm = cad_xyz[topk.astype(jnp.int32).T.reshape(-1)]
+        dpc = jnp.sqrt(pairwise_sqdist(pc_xyz, pc_xyz, precision=hi))
+        valid_rm = jnp.tile(y_valid, k)
+
+        def cmean(v):
+            w = v.astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(w), 1.0)
+            return consistency_sum_rank_major(ca_rm, dpc, w, v2=v2) / denom
+
+        for tau in taus[:-2]:
+            valid_rm = valid_rm & (cmean(valid_rm) < tau * diam_cad)
+        m = cmean(valid_rm)
+        keep_tight = valid_rm & (m < taus[-2] * diam_cad)
+        keep_loose = valid_rm & (m < taus[-1] * diam_cad)
+        valid_rm = jnp.where(jnp.any(keep_tight), keep_tight, keep_loose)
+        return (jnp.stack([cad_idx, pc_idx]),
+                valid_rm.reshape(k, v2).T.reshape(-1))
+
     ca = cad_xyz[cad_idx]                          # (P, 3)
     cb = pc_xyz[pc_idx]
 

@@ -54,3 +54,25 @@ def test_consistency_sum_matches_dense():
     db = np.linalg.norm(cb[:, None] - cb[None], axis=-1)
     ref = (np.abs(da - db) * w[:, None]).sum(0)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
+
+
+def test_consistency_sum_rank_major_matches_dense():
+    """Rank-major kernel (pc endpoint = pair_index mod v2, PC distance
+    table precomputed + tiled via modular BlockSpec) == dense formula."""
+    from pose6d_tpu.ops.pallas import consistency_sum_rank_major
+    rng = np.random.default_rng(4)
+    v2, k = 128, 3
+    P = v2 * k
+    ca = rng.normal(size=(P, 3)).astype(np.float32) * 2
+    pc = rng.normal(size=(v2, 3)).astype(np.float32) * 2
+    w = (rng.random(P) > 0.3).astype(np.float32)
+    dpc = np.linalg.norm(pc[:, None] - pc[None], axis=-1).astype(np.float32)
+    out = consistency_sum_rank_major(jnp.asarray(ca), jnp.asarray(dpc),
+                                     jnp.asarray(w), v2=v2,
+                                     block_i=64, block_j=128,
+                                     interpret=True)
+    cb = pc[np.arange(P) % v2]
+    da = np.linalg.norm(ca[:, None] - ca[None], axis=-1)
+    db = np.linalg.norm(cb[:, None] - cb[None], axis=-1)
+    ref = (np.abs(da - db) * w[:, None]).sum(0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
