@@ -62,6 +62,7 @@ def candidate_select_pose(model_apply, cad, pc, diam, key, K, obs_z,
                           zoomout_k: int = 0,
                           ransac_hypotheses: int = 4096,
                           icp_iters: int = 30,
+                          icp_coarse_stride: int = 4,
                           select_margin: float = 0.15,
                           select_trigger: float = 0.25):
     """Candidate maps -> per-candidate RANSAC pose -> depth-render
@@ -100,7 +101,8 @@ def candidate_select_pose(model_apply, cad, pc, diam, key, K, obs_z,
     icp = icp_cloud_to_model(cad["xyz"], cad["valid"], pc["xyz"],
                              pc["valid"], R0, t0,
                              max_corr_dist=0.2 * diam,
-                             max_iter=icp_iters)
+                             max_iter=icp_iters,
+                             coarse_stride=icp_coarse_stride)
     return {"R": icp["R"], "t": icp["t"],
             "n_inliers": jnp.stack(inls)[winner],
             "overlap12": out["overlap12"], "overlap21": out["overlap21"],

@@ -80,11 +80,27 @@ def _consistency_mean(coords_cad, coords_pc, row_valid,
     return jnp.sum(jnp.abs(da - db) * rw, axis=0) / denom
 
 
-@functools.partial(jax.jit, static_argnames=("k", "row_subsample"))
+def _prune_schedule(cmean, valid, taus, diam_cad):
+    """The shared taus pruning loop: plain rounds for every entry but
+    the last two, then the (tight, loose-fallback) final round
+    (reference spacial_filtering.py:59-73). cmean(valid) -> per-pair
+    mean consistency; one copy of the threshold logic for both the
+    rank-major and PC-major paths."""
+    for tau in taus[:-2]:
+        valid = valid & (cmean(valid) < tau * diam_cad)
+    m = cmean(valid)
+    keep_tight = valid & (m < taus[-2] * diam_cad)
+    keep_loose = valid & (m < taus[-1] * diam_cad)
+    return jnp.where(jnp.any(keep_tight), keep_tight, keep_loose)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "row_subsample",
+                                             "rank_major"))
 def spatial_filtering_fmap2pointmap(C, evecs_x, evecs_y, cad_xyz, pc_xyz,
                                     x_valid, y_valid, diam_cad,
                                     k: int = 5, row_subsample: int = 0,
-                                    taus=(0.3, 0.15, 0.055, 0.065)):
+                                    taus=(0.3, 0.15, 0.055, 0.065),
+                                    rank_major: bool | None = None):
     """Top-k spectral candidates + multi-stage distance-consistency
     pruning.
 
@@ -92,6 +108,10 @@ def spatial_filtering_fmap2pointmap(C, evecs_x, evecs_y, cad_xyz, pc_xyz,
     last two is a plain pruning round; the final pair is the
     (tight, loose-fallback) threshold of the last round (reference
     spacial_filtering.py:59-73 hardcodes (0.3, 0.15, 0.055, 0.065)).
+
+    rank_major: None = auto (TPU + aligned shapes); True forces the
+    rank-major Pallas path (interpret mode off-TPU — lets CPU tests
+    cover the whole branch, not just the kernel); False forces PC-major.
 
     Returns pairs (2, V2*k) int32 rows [cad_idx, pc_idx], valid (V2*k,).
     """
@@ -104,8 +124,10 @@ def spatial_filtering_fmap2pointmap(C, evecs_x, evecs_y, cad_xyz, pc_xyz,
     pc_idx = jnp.repeat(jnp.arange(v2, dtype=jnp.int32), k)
     valid = jnp.repeat(y_valid, k)
 
-    if (jax.default_backend() == "tpu" and row_subsample == 0
-            and v2 % 1024 == 0):
+    on_tpu = jax.default_backend() == "tpu"
+    if rank_major is None:
+        rank_major = on_tpu and row_subsample == 0 and v2 % 1024 == 0
+    if rank_major:
         # Rank-major fast path (pair index = rank * V2 + pc_point): the
         # PC-side endpoint of pair i is pc_xyz[i mod V2], so the (P, P)
         # PC distance matrix is the (V2, V2) point table tiled k x k.
@@ -118,35 +140,28 @@ def spatial_filtering_fmap2pointmap(C, evecs_x, evecs_y, cad_xyz, pc_xyz,
         hi = jax.lax.Precision.HIGH
         ca_rm = cad_xyz[topk.astype(jnp.int32).T.reshape(-1)]
         dpc = jnp.sqrt(pairwise_sqdist(pc_xyz, pc_xyz, precision=hi))
-        valid_rm = jnp.tile(y_valid, k)
+        # off-TPU the forced branch runs the kernel in interpret mode
+        # with v2-sized blocks (the defaults assume v2 % 1024 == 0)
+        kw = ({} if on_tpu else
+              {"interpret": True,
+               "block_i": min(512, v2), "block_j": min(1024, v2)})
 
         def cmean(v):
             w = v.astype(jnp.float32)
             denom = jnp.maximum(jnp.sum(w), 1.0)
-            return consistency_sum_rank_major(ca_rm, dpc, w, v2=v2) / denom
+            return consistency_sum_rank_major(ca_rm, dpc, w, v2=v2,
+                                              **kw) / denom
 
-        for tau in taus[:-2]:
-            valid_rm = valid_rm & (cmean(valid_rm) < tau * diam_cad)
-        m = cmean(valid_rm)
-        keep_tight = valid_rm & (m < taus[-2] * diam_cad)
-        keep_loose = valid_rm & (m < taus[-1] * diam_cad)
-        valid_rm = jnp.where(jnp.any(keep_tight), keep_tight, keep_loose)
+        valid_rm = _prune_schedule(cmean, jnp.tile(y_valid, k), taus,
+                                   diam_cad)
         return (jnp.stack([cad_idx, pc_idx]),
                 valid_rm.reshape(k, v2).T.reshape(-1))
 
     ca = cad_xyz[cad_idx]                          # (P, 3)
     cb = pc_xyz[pc_idx]
 
-    def prune(valid, tau):
-        m = _consistency_mean(ca, cb, valid, row_subsample)
-        return valid & (m < tau * diam_cad)
+    def cmean(v):
+        return _consistency_mean(ca, cb, v, row_subsample)
 
-    for tau in taus[:-2]:
-        valid = prune(valid, tau)
-    # final stage with fallback threshold (reference
-    # spacial_filtering.py:68-73)
-    m = _consistency_mean(ca, cb, valid, row_subsample)
-    keep_tight = valid & (m < taus[-2] * diam_cad)
-    keep_loose = valid & (m < taus[-1] * diam_cad)
-    valid = jnp.where(jnp.any(keep_tight), keep_tight, keep_loose)
+    valid = _prune_schedule(cmean, valid, taus, diam_cad)
     return jnp.stack([cad_idx, pc_idx]), valid

@@ -19,48 +19,70 @@ import jax.numpy as jnp
 from .kabsch import kabsch_umeyama
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "block"))
+@functools.partial(jax.jit, static_argnames=("max_iter", "block",
+                                             "coarse_stride",
+                                             "fine_iters"))
 def icp_point2point(src, src_valid, tgt, tgt_valid, R0, t0,
                     max_corr_dist: float = 0.2, max_iter: int = 50,
-                    block: int = 1024):
+                    block: int = 1024, coarse_stride: int = 1,
+                    fine_iters: int = 5):
     """Refine (R0, t0) aligning src onto tgt.
 
     src (N, 3), tgt (M, 3) padded with validity masks.
+
+    coarse_stride > 1 enables coarse-to-fine NN: all but the last
+    `fine_iters` iterations match against every coarse_stride-th target
+    point (the per-iteration NN over the full N x M table is the
+    measured ICP cost on TPU — docs/prof_tpu/ r5 trace), then the final
+    iterations and the reported rmse/n_corr run full-resolution. The
+    early iterations only need correspondences good enough to shrink
+    the basin, which a 4x-subsampled model surface provides.
     Returns dict R, t, rmse, n_corr.
     """
     f32 = jnp.float32
     src = src.astype(f32)
     tgt = tgt.astype(f32)
-    n = src.shape[0]
 
-    def nn_pairs(R, t):
+    def nn_pairs(R, t, tg, tv):
         from ..ops.nn import nearest_valid
         moved = src @ R.T + t
-        dmin, j = nearest_valid(moved, tgt, tgt_valid)
+        dmin, j = nearest_valid(moved, tg, tv)
         w = (src_valid & (dmin < max_corr_dist ** 2)).astype(f32)
         return j, w, dmin
 
-    def step(state, _):
-        R, t = state
-        j, w, _ = nn_pairs(R, t)
-        ok = jnp.sum(w) >= 3
-        R2, t2 = kabsch_umeyama(src, tgt[j], w)
-        R2 = jnp.where(ok, R2, R)
-        t2 = jnp.where(ok, t2, t)
-        return (R2, t2), None
+    def make_step(tg, tv):
+        def step(state, _):
+            R, t = state
+            j, w, _ = nn_pairs(R, t, tg, tv)
+            ok = jnp.sum(w) >= 3
+            R2, t2 = kabsch_umeyama(src, tg[j], w)
+            R2 = jnp.where(ok, R2, R)
+            t2 = jnp.where(ok, t2, t)
+            return (R2, t2), None
+        return step
 
-    (R, t), _ = jax.lax.scan(step, (R0.astype(f32), t0.astype(f32)),
-                             None, length=max_iter)
-    j, w, dmin = nn_pairs(R, t)
+    state = (R0.astype(f32), t0.astype(f32))
+    n_fine = max_iter if coarse_stride <= 1 else min(fine_iters, max_iter)
+    n_coarse = max_iter - n_fine
+    if n_coarse > 0:
+        state, _ = jax.lax.scan(
+            make_step(tgt[::coarse_stride], tgt_valid[::coarse_stride]),
+            state, None, length=n_coarse)
+    (R, t), _ = jax.lax.scan(make_step(tgt, tgt_valid), state, None,
+                             length=n_fine)
+    j, w, dmin = nn_pairs(R, t, tgt, tgt_valid)
     n_corr = jnp.sum(w)
     rmse = jnp.sqrt(jnp.sum(dmin * w) / jnp.maximum(n_corr, 1.0))
     return {"R": R, "t": t, "rmse": rmse, "n_corr": n_corr}
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "block"))
+@functools.partial(jax.jit, static_argnames=("max_iter", "block",
+                                             "coarse_stride",
+                                             "fine_iters"))
 def icp_cloud_to_model(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
                        max_corr_dist: float = 0.2, max_iter: int = 50,
-                       block: int = 1024):
+                       block: int = 1024, coarse_stride: int = 1,
+                       fine_iters: int = 5):
     """Partial-view pose refinement: match OBSERVED points onto the CAD.
 
     icp_point2point(src=CAD, tgt=PC) is biased for partial views: CAD
@@ -85,7 +107,9 @@ def icp_cloud_to_model(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
     out = icp_point2point(pc_xyz, pc_valid, cad_xyz, cad_valid,
                           R0.T, -R0.T @ t0,
                           max_corr_dist=max_corr_dist,
-                          max_iter=max_iter, block=block)
+                          max_iter=max_iter, block=block,
+                          coarse_stride=coarse_stride,
+                          fine_iters=fine_iters)
     Rm, tm = out["R"], out["t"]
     return {"R": Rm.T, "t": -Rm.T @ tm, "rmse": out["rmse"],
             "n_corr": out["n_corr"]}

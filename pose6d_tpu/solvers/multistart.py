@@ -108,11 +108,13 @@ def disambiguate_pose(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("icp_iters", "stride", "bank_iters"))
+                   static_argnames=("icp_iters", "stride", "bank_iters",
+                                    "icp_coarse_stride"))
 def disambiguate_pose_depth(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
                             diam, K, observed_z, mask,
                             icp_iters: int = 15, stride: int = 4,
-                            margin: float = 0.25, bank_iters: int = 5):
+                            margin: float = 0.25, bank_iters: int = 5,
+                            icp_coarse_stride: int = 4):
     """Flip disambiguation ranked by depth-image consistency.
 
     Geometric one-way distances tie on near-symmetric shapes (measured:
@@ -134,13 +136,18 @@ def disambiguate_pose_depth(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
     Rs, ts = flip_hypotheses(cad_xyz, cad_valid, R0, t0)
     bank_iters = min(bank_iters, icp_iters)
 
-    def refine(Rh, th, iters):
+    def refine(Rh, th, iters, fine_iters):
+        # coarse-to-fine NN (icp.py): the bank's job is ranking, which
+        # is insensitive to the few-mm tail — one full-res polish is
+        # enough; the winner gets the standard fine tail.
         icp = icp_cloud_to_model(cad_xyz, cad_valid, pc_xyz, pc_valid,
                                  Rh, th, max_corr_dist=0.2 * diam,
-                                 max_iter=iters)
+                                 max_iter=iters,
+                                 coarse_stride=icp_coarse_stride,
+                                 fine_iters=fine_iters)
         return icp["R"], icp["t"]
 
-    Rr, tr = jax.vmap(lambda R, t: refine(R, t, bank_iters))(Rs, ts)
+    Rr, tr = jax.vmap(lambda R, t: refine(R, t, bank_iters, 1))(Rs, ts)
     scores = jax.vmap(
         lambda Rh, th: depth_consistency_score(
             cad_xyz, cad_valid, Rh, th, K, observed_z, mask, diam,
@@ -151,6 +158,6 @@ def disambiguate_pose_depth(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
     best = jnp.argmin(handicapped)
     R_w, t_w = Rr[best], tr[best]
     if icp_iters > bank_iters:
-        R_w, t_w = refine(R_w, t_w, icp_iters - bank_iters)
+        R_w, t_w = refine(R_w, t_w, icp_iters - bank_iters, 5)
     return {"R": R_w, "t": t_w, "score": scores[best],
             "hypothesis": best, "all_scores": scores}

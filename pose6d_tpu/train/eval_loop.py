@@ -264,9 +264,23 @@ def evaluate(cfg, params, dataset=None, save_dir=None,
                          "is the candidate-selection signal")
     rot_bank = _tta_rotation_bank(tta) if tta > 1 else None
 
+    # Per-device batch sharding (SURVEY §2.4): with >1 local device,
+    # place each batch sharded over a 1-D data mesh — the jitted
+    # fwd/solver/ir programs follow their input shardings under GSPMD,
+    # so every eval stage runs data-parallel with no code changes.
+    # (Multi-host frame sharding above composes with this: frames per
+    # process, batch rows per device.)
+    mesh = None
+    if jax.device_count() > 1:
+        from ..parallel.mesh import make_mesh, shard_batch
+        mesh = make_mesh()
+
     all_ir, per_obj = [], {}
     idx = 0
     for batch in loader:
+        if mesh is not None and (
+                batch["diam_cad"].shape[0] % len(mesh.devices) == 0):
+            batch = shard_batch(batch, mesh)
         cand_list = _batch_candidates(fwd, solver, refine, params,
                                       batch, rot_bank, n_fmap, k_cols)
         if len(cand_list) == 1:

