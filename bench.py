@@ -43,6 +43,9 @@ from pose6d_tpu.models import DPFMConfig, DPFMNet  # noqa: E402
 from pose6d_tpu.solvers import (disambiguate_pose_depth,  # noqa: E402
                                 icp_cloud_to_model, ransac_pose,
                                 spatial_filtering_fmap2pointmap)
+from pose6d_tpu.ops.symmetry import (detect_symmetries,  # noqa: E402
+                                     disambiguation_bank,
+                                     sym_rotation_error_deg)
 from pose6d_tpu.solvers.candidates import candidate_select_pose  # noqa: E402
 from pose6d_tpu.train import metrics  # noqa: E402
 
@@ -139,7 +142,7 @@ def main(profile_dir: str | None = None):
     _require_backend()
     t_setup = time.time()
     rng = np.random.default_rng(0)
-    samples, frames_meta = [], []
+    samples, frames_meta, sym_banks = [], [], {}
     for ds in build_datasets():
         for idx in range(len(ds)):
             cad, pc, obj = ds[idx]
@@ -153,7 +156,13 @@ def main(profile_dir: str | None = None):
             obs_z = (np.asarray(frame["depth"], np.float32)
                      * depth_scale * 0.1)
             mask = np.asarray(frame["seg"][j] == 255)
-            frames_meta.append({"K": K, "obs_z": obs_z, "mask": mask})
+            # detected near-symmetry bank: targeted flip hypotheses for
+            # the disambiguation stage + rot-err-modulo-symmetry meta
+            cv = np.asarray(cad["xyz"])
+            frames_meta.append({"K": K, "obs_z": obs_z, "mask": mask,
+                                "sym_rots": sym_banks.setdefault(
+                                    int(obj["obj_id"]),
+                                    disambiguation_bank(cv, max_rots=6))})
     batch = collate(samples)
     fb = collate(frames_meta)
     B = batch["cad"]["xyz"].shape[0]
@@ -170,7 +179,7 @@ def main(profile_dir: str | None = None):
     params = load_params(model)
     n_fmap = 30
 
-    def one_frame(cad, pc, diam, key, K, obs_z, mask):
+    def one_frame(cad, pc, diam, key, K, obs_z, mask, sym_rots):
         # the production inference recipe (api.Predictor defaults):
         # forward -> spatial filter -> adaptive RANSAC -> observed-cloud
         # ICP -> flip disambiguation. With POSE6D_BENCH_TTA>1 the
@@ -183,7 +192,8 @@ def main(profile_dir: str | None = None):
             ransac_hypotheses=4096, icp_iters=30)
         fix = disambiguate_pose_depth(
             cad["xyz"], cad["valid"], pc["xyz"], pc["valid"],
-            sel["R"], sel["t"], diam, K, obs_z, mask)
+            sel["R"], sel["t"], diam, K, obs_z, mask,
+            sym_rots=sym_rots)
         return {"R": fix["R"], "t": fix["t"],
                 "n_inliers": sel["n_inliers"],
                 "candidate": sel["candidate"],
@@ -194,7 +204,8 @@ def main(profile_dir: str | None = None):
         keys = jax.random.split(key, B)
         return jax.vmap(one_frame)(batch["cad"], batch["pc"],
                                    batch["diam_cad"], keys,
-                                   fb["K"], fb["obs_z"], fb["mask"])
+                                   fb["K"], fb["obs_z"], fb["mask"],
+                                   fb["sym_rots"])
 
     def run_and_fetch(key):
         """Execute one pipeline batch and FORCE a value round-trip.
@@ -279,9 +290,9 @@ def main(profile_dir: str | None = None):
                 c["xyz"], c["valid"], p["xyz"], p["valid"], R, t,
                 max_corr_dist=0.2 * d, max_iter=30)))
         disamb_b = jax.jit(jax.vmap(
-            lambda c, p, R, t, d, K, z, m: disambiguate_pose_depth(
+            lambda c, p, R, t, d, K, z, m, sr: disambiguate_pose_depth(
                 c["xyz"], c["valid"], p["xyz"], p["valid"],
-                R, t, d, K, z, m)))
+                R, t, d, K, z, m, sym_rots=sr)))
         keys = jax.random.split(jax.random.PRNGKey(99), B)
         # warm-up compiles outside the timers
         o = fwd(batch["cad"], batch["pc"])
@@ -296,7 +307,8 @@ def main(profile_dir: str | None = None):
                    batch["diam_cad"])
         jax.block_until_ready(disamb_b(
             batch["cad"], batch["pc"], ic["R"], ic["t"],
-            batch["diam_cad"], fb["K"], fb["obs_z"], fb["mask"]))
+            batch["diam_cad"], fb["K"], fb["obs_z"], fb["mask"],
+            fb["sym_rots"]))
         for _ in range(3):
             with timer("1_forward"):
                 o = synced(fwd(batch["cad"], batch["pc"]))
@@ -317,7 +329,8 @@ def main(profile_dir: str | None = None):
             with timer("5_disambiguate"):
                 synced(disamb_b(
                     batch["cad"], batch["pc"], ic["R"], ic["t"],
-                    batch["diam_cad"], fb["K"], fb["obs_z"], fb["mask"]))
+                    batch["diam_cad"], fb["K"], fb["obs_z"], fb["mask"],
+                    fb["sym_rots"]))
         summary = {"batch": B, "platform": jax.devices()[0].platform,
                    "frames_per_sec": round(B / dt, 2),
                    "stages": timer.summary()}
@@ -330,6 +343,11 @@ def main(profile_dir: str | None = None):
     Rb = np.asarray(out["R"])
     tb = np.asarray(out["t"])
     rot_errs, adds_scores, add_scores, obj_ids = [], [], [], []
+    rot_errs_sym = []
+    # tight-tau symmetry groups per object for error-mod-symmetry
+    # (detection tau 0.02 — report only real near-symmetries; the
+    # disambiguation bank above uses a looser tau by design)
+    sym_groups = {}
     for i in range(B):
         R_gt = np.asarray(batch["R_m2c"][i])
         t_gt = np.asarray(batch["t_m2c"][i])
@@ -340,6 +358,12 @@ def main(profile_dir: str | None = None):
         diam = float(batch["diam_cad"][i])
         rot_errs.append(float(np.degrees(metrics.angular_error_rad(
             jnp.asarray(R_gt), jnp.asarray(Rb[i])))))
+        oid = int(np.asarray(batch["obj_id"][i]))
+        if oid not in sym_groups:
+            vfull = np.asarray(pts)[np.asarray(valid)]
+            sym_groups[oid] = detect_symmetries(vfull)[0]
+        rot_errs_sym.append(sym_rotation_error_deg(
+            R_gt, Rb[i], sym_groups[oid]))
         _, s = metrics.adds_score(jnp.asarray(T_est), jnp.asarray(T_gt),
                                   pts, diam, valid)
         adds_scores.append(float(s))
@@ -370,6 +394,13 @@ def main(profile_dir: str | None = None):
             "adds_score_mean": round(float(np.mean(adds_scores)), 3),
             "add_score_mean": round(float(np.mean(add_scores)), 3),
             "rot_err_deg_median": round(float(np.median(rot_errs)), 2),
+            # error modulo the object's detected symmetry group — the
+            # identifiable part of the rotation error (raw stays the
+            # number of record; on near-symmetric objects raw conflates
+            # symmetry-equivalent and genuinely wrong poses)
+            "rot_err_deg_sym_median": round(
+                float(np.median(rot_errs_sym)), 2),
+            "rot_err_deg_sym": [round(r, 1) for r in rot_errs_sym],
             # per-object rows: obj_5 is rotationally near-symmetric, so
             # its plain ADD is structurally ~0 even at a perfect pose
             # (the reference reports ADD-S for such objects) — pooled

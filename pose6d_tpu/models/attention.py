@@ -23,11 +23,31 @@ set with static shapes.
 """
 from __future__ import annotations
 
+import contextlib
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ..ops.masking import masked_mean, masked_softmax
+
+# While True, attention traces the portable XLA path even on TPU —
+# needed when one trace must lower for several platforms (multi-platform
+# jax.export: the Pallas flash kernel is a TPU-only custom call).
+_PORTABLE_TRACE = False
+
+
+@contextlib.contextmanager
+def portable_lowering():
+    """Force the XLA attention path for the enclosed traces (see
+    serving.export_predictor multi-platform export)."""
+    global _PORTABLE_TRACE
+    prev = _PORTABLE_TRACE
+    _PORTABLE_TRACE = True
+    try:
+        yield
+    finally:
+        _PORTABLE_TRACE = prev
 
 
 def masked_instance_norm(x, valid, eps: float = 1e-5):
@@ -78,7 +98,8 @@ class MultiHeadedAttention(nn.Module):
         q = q.reshape(-1, dim, self.num_heads)
         k = k.reshape(-1, dim, self.num_heads)
         v = v.reshape(-1, dim, self.num_heads)
-        if (self.use_flash and jax.default_backend() == "tpu"
+        if (self.use_flash and not _PORTABLE_TRACE
+                and jax.default_backend() == "tpu"
                 and q.shape[0] % 512 == 0 and k.shape[0] % 512 == 0):
             # flash path: online softmax in VMEM, no (H, N, M) tensor in HBM
             from ..ops.pallas.attention import flash_cross_attention

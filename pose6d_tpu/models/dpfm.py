@@ -50,8 +50,15 @@ class DPFMConfig:
     input_features: str = "xyz"
     n_hks: int = 16
     n_wks: int = 16
-    # Pallas flash-attention path for the refiner (TPU, shapes % 512)
-    use_flash: bool = False
+    # Pallas flash-attention path for the refiner (TPU, shapes % 512;
+    # non-TPU backends fall back to the XLA path automatically).
+    # Default ON: the XLA path's masked softmax materializes the full
+    # (B, H, V2, V1) f32 score tensor — the single hottest fusion of
+    # the forward at production shapes (76 of 97 ms device time per
+    # 16-frame batch, r5 trace); flash measured 2.5x faster end-to-end
+    # forward with |delta C| ~ 1.6e-3 (bf16 noise scale, both paths
+    # compute scores in bf16).
+    use_flash: bool = True
     # Model-variant switches matching the reference's config space:
     # tangent-gradient features in DiffusionNet (models/dpfm.py:28-29;
     # shapes must then carry gather-form grad_idx/grad_cx/grad_cy) and

@@ -118,3 +118,80 @@ def sym_inlier_ratio(p_pred, cad_xyz, align_pc, threshold, Rs,
     imgs = np.einsum("sij,pj->spi", Rs, a)              # (S, P, 3)
     d = np.linalg.norm(imgs - b[None], axis=-1).min(0)  # (P,)
     return float((d < threshold).mean())
+
+
+def sym_rotation_error_deg(R_gt, R_est, Rs):
+    """Rotation error modulo a detected symmetry group, in degrees.
+
+    A model-frame symmetry S (rotation about the CAD centroid) makes
+    the poses (R, t) and (R S, t + R c - R S c) render identically, so
+    the identifiable rotation error is min_S angle(R_est, R_gt S).
+    With Rs = identity-only this equals the plain angular error. The
+    raw error stays the number of record; this is reported alongside it
+    (BOP-style symmetry handling the reference gets implicitly through
+    ADD-S, scripts/test_RANSAC.py:203-222).
+    """
+    R_gt = np.asarray(R_gt, np.float64)
+    R_est = np.asarray(R_est, np.float64)
+    Rs = np.asarray(Rs, np.float64).reshape(-1, 3, 3)
+    # angle(A^T B) via trace, vectorized over the group
+    M = np.einsum("ij,sjk->sik", R_gt, Rs)            # (S, 3, 3) R_gt S
+    tr = np.einsum("ji,sji->s", R_est, M)             # trace(R_est^T M)
+    cos = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    return float(np.degrees(np.arccos(cos).min()))
+
+
+def disambiguation_bank(verts, max_rots: int = 8, rel_tau: float = 0.05):
+    """Detected-symmetry flip bank for pose disambiguation.
+
+    The generic bank (solvers/multistart.flip_hypotheses) tests 180-deg
+    flips about principal axes regardless of the object; this builds
+    the bank from the object's own detected NEAR-symmetries — exactly
+    the rotations a functional map confuses (detection at a loose
+    rel_tau: a flip only fools the map if the shape ALMOST matches
+    under it, and only then is it worth spending an ICP+render slot).
+    For a detected continuous (revolution) axis the in-axis images are
+    truly unidentifiable, so the bank instead carries 180-deg flips
+    about the two perpendicular principal axes (the discrete top/bottom
+    ambiguity of a near-cylinder).
+
+    Returns (max_rots, 3, 3) float32: identity first, detected
+    near-symmetry images next, identity-padded. Apply about the CAD
+    centroid (same contract as detect_symmetries).
+    """
+    verts = np.asarray(verts, np.float64)
+    Rs, report = detect_symmetries(verts, rel_tau=rel_tau)
+    bank = [np.eye(3)]
+    _, vecs = np.linalg.eigh(np.cov((verts - verts.mean(0)).T))
+    for rep in report:
+        if rep["continuous"]:
+            axis = np.asarray(rep["axis"], np.float64)
+            # two perpendicular principal axes -> 180-deg flips
+            for k in range(3):
+                v = vecs[:, k]
+                if abs(float(v @ axis)) < 0.9:
+                    bank.append(_axis_rotation(v, np.pi))
+        else:
+            n = rep["order"]
+            for k in range(1, n):
+                bank.append(_axis_rotation(rep["axis"],
+                                           2.0 * np.pi * k / n))
+    # dedup near-identical rotations, keep order
+    out = []
+    for R in bank:
+        if not any(np.abs(R - Q).max() < 1e-3 for Q in out):
+            out.append(R)
+    if len(out) == 1:
+        # nothing detected: fall back to the generic principal-axis
+        # bank (180-deg flips about each principal axis + +-90 about
+        # the dominant one — the same bank flip_hypotheses builds
+        # in-trace), so undetected near-symmetries keep the rescue
+        # behavior instead of a no-op identity bank
+        for k in range(3):
+            out.append(_axis_rotation(vecs[:, k], np.pi))
+        out.append(_axis_rotation(vecs[:, 2], np.pi / 2))
+        out.append(_axis_rotation(vecs[:, 2], -np.pi / 2))
+    out = out[:max_rots]
+    while len(out) < max_rots:
+        out.append(np.eye(3))
+    return np.asarray(out, np.float32)

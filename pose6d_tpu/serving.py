@@ -77,8 +77,16 @@ def export_predictor(pred, obj_id: int, depth_shape: tuple[int, int],
         jax.ShapeDtypeStruct((2,), jnp.uint32),         # PRNG key
     )
     fn = jax.jit(_frame_fn(pred, obj_id))
-    exp = _jax_export.export(
-        fn, platforms=list(platforms) if platforms else None)(*specs)
+    if platforms and len(platforms) > 1:
+        # one trace must lower for every platform: force the portable
+        # XLA attention path (the Pallas flash kernel is a TPU-only
+        # custom call that a cpu replay cannot execute)
+        from .models.attention import portable_lowering
+        with portable_lowering():
+            exp = _jax_export.export(fn, platforms=list(platforms))(*specs)
+    else:
+        exp = _jax_export.export(
+            fn, platforms=list(platforms) if platforms else None)(*specs)
     return exp.serialize()
 
 

@@ -11,9 +11,12 @@ non-convexity over a truncated-least-squares cost, solved jointly for
   w_i = ( mu * cbar2 / (r_i^2/eps^2 + mu) )^2-ish TLS surrogate weight,
   mu <- mu * gnc_factor each outer iteration until saturation.
 
-No max-clique stage: the spatial-consistency filter upstream
-(solvers/fmap2pointmap.py) plays that role, exactly as pairwise-distance
-consistency does in TEASER's clique pruning.
+TEASER's max-clique global stage exists as `consistency_core`
+(iterative degree peeling of the pairwise-consistency graph, opt-in
+via core_select=True) for unfiltered correspondences; the upstream
+spatial-consistency filter (solvers/fmap2pointmap.py) plays the same
+role in the standard pipeline, exactly as pairwise-distance consistency
+does in TEASER's clique pruning.
 """
 from __future__ import annotations
 
@@ -25,13 +28,77 @@ import jax.numpy as jnp
 from .kabsch import kabsch_umeyama, transform_residuals, triad_rigid
 
 
+@functools.partial(jax.jit, static_argnames=("rounds", "row_block"))
+def consistency_core(src, dst, valid, noise_bound: float = 0.05,
+                     rounds: int = 6, degree_frac: float = 0.5,
+                     row_block: int = 1024):
+    """Mutual pairwise-consistency core selection (TEASER's max-clique
+    stage, reference scripts/test_teaser.py:362-370, as a TPU-native
+    relaxation).
+
+    TEASER builds the graph with an edge (i, j) iff
+    | ||src_i-src_j|| - ||dst_i-dst_j|| | <= 2*noise_bound (rigid
+    motions preserve pairwise distances, so inliers form a clique) and
+    keeps the maximum clique. Exact max-clique is branch-and-bound
+    C++; the fixed-shape equivalent here is iterative k-core-style
+    degree peeling: each round computes every surviving vertex's
+    consistency degree (a blocked (row_block, N) streaming count — the
+    (N, N) adjacency is never materialized) and drops vertices whose
+    degree is below degree_frac of the round's MAXIMUM degree. The
+    threshold is relative to the max — not to the survivor count — so
+    the stage works when inliers are a small minority (clique members
+    all have degree ~= clique size, the max; loosely-attached outliers
+    sit far below it). Returns the surviving mask (a superset of the
+    max clique whenever inliers are the densest mutually-consistent
+    structure).
+    """
+    f32 = jnp.float32
+    src = src.astype(f32)
+    dst = dst.astype(f32)
+    n = src.shape[0]
+    tau = jnp.asarray(2.0 * noise_bound, f32)
+    pad = (-n) % row_block
+    srcp = jnp.pad(src, ((0, pad), (0, 0)))
+    dstp = jnp.pad(dst, ((0, pad), (0, 0)))
+
+    def degrees(keep):
+        kf = keep.astype(f32)
+
+        def block_deg(i0):
+            rs = jax.lax.dynamic_slice_in_dim(srcp, i0, row_block)
+            rd = jax.lax.dynamic_slice_in_dim(dstp, i0, row_block)
+            da = jnp.sqrt(jnp.maximum(
+                jnp.sum(rs * rs, 1)[:, None] + jnp.sum(src * src, 1)[None]
+                - 2.0 * rs @ src.T, 0.0))
+            db = jnp.sqrt(jnp.maximum(
+                jnp.sum(rd * rd, 1)[:, None] + jnp.sum(dst * dst, 1)[None]
+                - 2.0 * rd @ dst.T, 0.0))
+            return jnp.sum((jnp.abs(da - db) <= tau) * kf[None], axis=1)
+
+        starts = jnp.arange(0, n + pad, row_block)
+        deg = jax.lax.map(block_deg, starts).reshape(-1)[:n]
+        # remove self-edges from the count
+        return deg - keep.astype(f32)
+
+    def body(keep, _):
+        deg = degrees(keep)
+        max_deg = jnp.max(jnp.where(keep, deg, 0.0))
+        keep2 = keep & (deg >= degree_frac * max_deg)
+        # never peel to extinction: keep the old mask if <3 survive
+        keep2 = jnp.where(jnp.sum(keep2) >= 3, keep2, keep)
+        return keep2, None
+
+    keep, _ = jax.lax.scan(body, valid, None, length=rounds)
+    return keep
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter", "init_hypotheses",
-                                             "init_block"))
+                                             "init_block", "core_select"))
 def gnc_tls_pose(src, dst, valid, noise_bound: float = 0.05,
                  cbar2: float = 1.0, gnc_factor: float = 1.4,
                  max_iter: int = 100, cost_threshold: float = 1e-12,
                  key=None, init_hypotheses: int = 4096,
-                 init_block: int = 512):
+                 init_block: int = 512, core_select: bool = False):
     """Robust (R, t) via GNC-TLS.
 
     src, dst (N, 3) correspondences with validity mask. noise_bound is
@@ -50,12 +117,20 @@ def gnc_tls_pose(src, dst, valid, noise_bound: float = 0.05,
     LS init is used (fine once upstream spatial-consistency filtering has
     pruned the correspondence set).
 
+    core_select: run the TEASER-parity mutual-consistency core stage
+    (consistency_core) before anything else — the global stage TEASER
+    gets from max-clique pruning. Use when the correspondences did NOT
+    pass the upstream spatial-consistency filter.
+
     Returns dict: R, t, weights (N,) final TLS weights in [0,1],
     inliers (N,) bool (weight > 0.5), n_inliers.
     """
     f32 = jnp.float32
     src = src.astype(f32)
     dst = dst.astype(f32)
+    if core_select:
+        valid = consistency_core(src, dst, valid,
+                                 noise_bound=noise_bound)
     v = valid.astype(f32)
     eps2 = jnp.asarray(noise_bound ** 2 * cbar2, f32)
 

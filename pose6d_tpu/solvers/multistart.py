@@ -55,20 +55,29 @@ def so3_bank(n: int):
     return np.stack(mats[:n]).astype(np.float32)
 
 
-def flip_hypotheses(cad_xyz, cad_valid, R0, t0):
+def flip_hypotheses(cad_xyz, cad_valid, R0, t0, rots=None):
     """Pose bank: identity + 180deg flips about principal axes +
-    +-90deg about the dominant axis, all about the CAD centroid."""
+    +-90deg about the dominant axis, all about the CAD centroid.
+
+    rots: optional (H, 3, 3) model-frame rotation bank (e.g. the
+    object's detected near-symmetry group, ops/symmetry.py:
+    disambiguation_bank) replacing the generic PCA bank — the targeted
+    variant spends its ICP+render slots only on rotations the object's
+    own geometry can actually be confused by."""
     v = cad_valid.astype(jnp.float32)[:, None]
     mu = jnp.sum(cad_xyz * v, axis=0) / jnp.maximum(jnp.sum(v), 1.0)
-    centered = (cad_xyz - mu) * v
-    cov = centered.T @ centered
-    _, axes = jnp.linalg.eigh(cov)      # columns ascending; [:, 2] dominant
-    rots = [jnp.eye(3)]
-    for k in range(3):
-        rots.append(_axis_angle(axes[:, k], jnp.pi))
-    rots.append(_axis_angle(axes[:, 2], jnp.pi / 2))
-    rots.append(_axis_angle(axes[:, 2], -jnp.pi / 2))
-    rots = jnp.stack(rots)               # (H, 3, 3) model-frame rotations
+    if rots is None:
+        centered = (cad_xyz - mu) * v
+        cov = centered.T @ centered
+        _, axes = jnp.linalg.eigh(cov)  # columns ascending; [:, 2] dominant
+        rots = [jnp.eye(3)]
+        for k in range(3):
+            rots.append(_axis_angle(axes[:, k], jnp.pi))
+        rots.append(_axis_angle(axes[:, 2], jnp.pi / 2))
+        rots.append(_axis_angle(axes[:, 2], -jnp.pi / 2))
+        rots = jnp.stack(rots)           # (H, 3, 3) model-frame rotations
+    else:
+        rots = jnp.asarray(rots)
     # x_cam = R0 (Rh (x - mu) + mu) + t0
     Rs = jnp.einsum("ij,hjk->hik", R0, rots)
     ts = (t0[None, :] + jnp.einsum("ij,j->i", R0, mu)[None, :]
@@ -114,7 +123,7 @@ def disambiguate_pose_depth(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
                             diam, K, observed_z, mask,
                             icp_iters: int = 15, stride: int = 4,
                             margin: float = 0.25, bank_iters: int = 5,
-                            icp_coarse_stride: int = 4):
+                            icp_coarse_stride: int = 4, sym_rots=None):
     """Flip disambiguation ranked by depth-image consistency.
 
     Geometric one-way distances tie on near-symmetric shapes (measured:
@@ -123,6 +132,9 @@ def disambiguate_pose_depth(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
     (solvers/verify_pose.py) uses exactly the evidence symmetry cannot
     fake. observed_z (H, W) in the same units as the CAD (cm), 0 where
     invalid; mask = instance mask.
+
+    sym_rots: optional (H, 3, 3) detected near-symmetry bank
+    (ops/symmetry.disambiguation_bank) replacing the generic PCA bank.
 
     Two-phase refinement: the 6-hypothesis bank gets a coarse
     `bank_iters`-step ICP — flip hypotheses differ by 90-180 degrees,
@@ -133,7 +145,7 @@ def disambiguate_pose_depth(cad_xyz, cad_valid, pc_xyz, pc_valid, R0, t0,
     docs/prof_tpu/stage_summary_postfix.json: 191 ms/16-frame batch).
     """
     from .verify_pose import depth_consistency_score
-    Rs, ts = flip_hypotheses(cad_xyz, cad_valid, R0, t0)
+    Rs, ts = flip_hypotheses(cad_xyz, cad_valid, R0, t0, rots=sym_rots)
     bank_iters = min(bank_iters, icp_iters)
 
     def refine(Rh, th, iters, fine_iters):

@@ -155,9 +155,15 @@ def train(cfg, dataset=None, max_steps: int | None = None,
     # running the traced init program on the accelerator is wasted
     # compile time (and exercises a flaky execution path on tunneled
     # single-chip setups); the step program is what belongs on device.
+    # portable_lowering: init is traced for the CPU device while the
+    # process default backend is still "tpu" — the flash-attention gate
+    # keys on the backend and would emit a TPU-only Pallas call into a
+    # CPU program (params are identical either way; init math is
+    # path-independent).
+    from ..models.attention import portable_lowering
     try:
         cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
+        with jax.default_device(cpu), portable_lowering():
             state = init_fn(key, jax.device_put(example, cpu))
         state = jax.device_put(state, jax.devices()[0])
     except RuntimeError:

@@ -66,7 +66,7 @@ def _splat_observed(pc, K, h: int, w: int):
     "ransac_hypotheses", "gnc_noise_bound", "icp_threshold",
     "icp_max_iter"))
 def _pose_chunk(keys, src, dst, pvalid, cad, cad_valid, pc, pc_valid,
-                R_gt, t_gt, diam, K, obs_z, obs_mask, has_K, *,
+                R_gt, t_gt, diam, K, obs_z, obs_mask, has_K, sym_rots, *,
                 solver, disambiguate, icp_target, ransac_threshold,
                 ransac_hypotheses, gnc_noise_bound, icp_threshold,
                 icp_max_iter):
@@ -88,11 +88,12 @@ def _pose_chunk(keys, src, dst, pvalid, cad, cad_valid, pc, pc_valid,
     # flip-hypothesis bank by depth-image consistency; frames without
     # intrinsics keep the raw solver pose (hypothesis -1)
     if disambiguate:
-        fix = jax.vmap(lambda c, cv, p, pv, R0, t0, dm, k, oz, om:
+        fix = jax.vmap(lambda c, cv, p, pv, R0, t0, dm, k, oz, om, sr:
                        disambiguate_pose_depth(c, cv, p, pv, R0, t0,
-                                               dm, k, oz, om))(
+                                               dm, k, oz, om,
+                                               sym_rots=sr))(
             cad, cad_valid, pc, pc_valid, R_est, t_est, diam,
-            K, obs_z, obs_mask)
+            K, obs_z, obs_mask, sym_rots)
         hk = has_K
         R_init = jnp.where(hk[:, None, None], fix["R"].astype(f32), R_est)
         t_init = jnp.where(hk[:, None], fix["t"].astype(f32), t_est)
@@ -205,6 +206,20 @@ def run_pose_stage(results_dir, out_dir, solver: str = "ransac",
         rec["hw"] = (int(hw[0]), int(hw[1]))
         recs.append(rec)
 
+    # detected near-symmetries per object (host, memoized): targeted
+    # flip bank for the disambiguation stage + rotation-error-modulo-
+    # symmetry reporting (ops/symmetry.py)
+    from ..ops.symmetry import (detect_symmetries, disambiguation_bank,
+                                sym_rotation_error_deg)
+    sym_bank_by_obj, sym_group_by_obj = {}, {}
+    for rec in recs:
+        o = rec["obj_id"]
+        if o not in sym_bank_by_obj:
+            sym_bank_by_obj[o] = disambiguation_bank(rec["cad"],
+                                                     max_rots=6)
+            sym_group_by_obj[o] = detect_symmetries(rec["cad"])[0]
+        rec["sym_rots"] = sym_bank_by_obj[o]
+
     if not recs:
         with open(base / "avg_results.txt", "w") as fh:
             for m in ("add_score", "add", "add_score_xyz", "adds_score"):
@@ -267,7 +282,8 @@ def run_pose_stage(results_dir, out_dir, solver: str = "ransac",
             stack(rs, "R_gt"), stack(rs, "t_gt"),
             jnp.asarray([r["diam"] for r in rs], jnp.float32),
             stack(rs, "K"), obs_z, obs_mask,
-            jnp.asarray([r["has_K"] for r in rs]))
+            jnp.asarray([r["has_K"] for r in rs]),
+            stack(rs, "sym_rots"))
         out = jax.tree_util.tree_map(np.asarray, out)
 
         for b, rec in enumerate(rs):
@@ -288,8 +304,11 @@ def run_pose_stage(results_dir, out_dir, solver: str = "ransac",
                 acc[f"obj_{obj_id}_add_score_xyz"].append(add_xyz2)
                 acc[f"obj_{obj_id}_adds_score"].append(adds_s2)
 
-            extra = (f"Flip hypothesis: {flip_hyp}\n"
-                     if disambiguate and flip_hyp >= 0 else "")
+            err_deg_sym = sym_rotation_error_deg(
+                rec["R_gt"], T_icp[:3, :3], sym_group_by_obj[obj_id])
+            extra = (f"Error mod-sym [deg]: {err_deg_sym}\n"
+                     + (f"Flip hypothesis: {flip_hyp}\n"
+                        if disambiguate and flip_hyp >= 0 else ""))
             i = rec["i"]
             txt = base / "results" / f"obj_{obj_id}_result_{i}.txt"
             txt.write_text(

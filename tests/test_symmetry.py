@@ -99,3 +99,80 @@ class TestSymIR:
         cad, _ = self._setup()
         assert sym_inlier_ratio(np.zeros((0, 2), int), cad, cad, 1.0,
                                 np.eye(3)[None]) == 0.0
+
+
+class TestSymRotationError:
+    def test_identity_group_equals_plain_angle(self):
+        from pose6d_tpu.ops.symmetry import sym_rotation_error_deg
+        rng = np.random.default_rng(0)
+        A = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+        A *= np.sign(np.linalg.det(A))
+        R90 = _axis_rotation([0, 0, 1], np.pi / 2)
+        e = sym_rotation_error_deg(A, A @ R90, np.eye(3)[None])
+        assert abs(e - 90.0) < 1e-6
+
+    def test_symmetry_image_scores_zero(self):
+        """A pose landing on a C2 image of the truth: raw error 180,
+        mod-sym error ~0 for a box's detected group."""
+        from pose6d_tpu.ops.symmetry import (detect_symmetries,
+                                             sym_rotation_error_deg)
+        Rs, _ = detect_symmetries(_box_grid())
+        rng = np.random.default_rng(1)
+        R_gt = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+        R_gt *= np.sign(np.linalg.det(R_gt))
+        R_est = R_gt @ Rs[1]           # a nontrivial group element
+        raw = sym_rotation_error_deg(R_gt, R_est, np.eye(3)[None])
+        mod = sym_rotation_error_deg(R_gt, R_est, Rs)
+        assert raw > 170.0 and mod < 1e-4
+
+    def test_genuinely_wrong_pose_stays_wrong(self):
+        from pose6d_tpu.ops.symmetry import (detect_symmetries,
+                                             sym_rotation_error_deg)
+        Rs, _ = detect_symmetries(_box_grid())
+        R_gt = np.eye(3)
+        R_bad = _axis_rotation([1, 1, 0], 0.6)  # not a symmetry image
+        mod = sym_rotation_error_deg(R_gt, R_bad, Rs)
+        assert mod > 20.0
+
+
+class TestDisambiguationBank:
+    def test_box_bank_contains_c2_flips(self):
+        from pose6d_tpu.ops.symmetry import disambiguation_bank
+        bank = disambiguation_bank(_box_grid(), max_rots=6)
+        assert bank.shape == (6, 3, 3)
+        assert np.allclose(bank[0], np.eye(3))
+        # at the bank's loose detection tau at least two distinct
+        # 180-degree rotations survive dedup (the third C2 may fold
+        # into a loose continuous misdetection whose perpendicular
+        # flips coincide with the real C2 flips — harmless: the bank's
+        # job is covering confusable rotations, not group recovery)
+        nontrivial = [R for R in bank
+                      if not np.allclose(R, np.eye(3), atol=1e-3)]
+        assert len(nontrivial) >= 2
+        assert all(abs(np.trace(R) + 1.0) < 1e-2 for R in nontrivial)
+
+    def test_cylinder_bank_flips_perpendicular(self):
+        """Continuous axis -> in-axis images are unidentifiable; the
+        bank carries 180-deg flips about perpendicular axes instead."""
+        from pose6d_tpu.ops.symmetry import disambiguation_bank
+        bank = disambiguation_bank(_cylinder(), max_rots=6)
+        nontrivial = [R for R in bank
+                      if not np.allclose(R, np.eye(3), atol=1e-3)]
+        assert len(nontrivial) >= 1
+        for R in nontrivial:
+            # each is a 180-deg rotation (trace -1) moving the z axis
+            assert abs(np.trace(R) + 1.0) < 1e-2
+            assert abs(R[2, 2] - 1.0) > 0.5
+
+    def test_asymmetric_blob_falls_back_to_generic_bank(self):
+        """No detected near-symmetry -> the generic principal-axis bank
+        (not an all-identity no-op), preserving the rescue behavior of
+        solvers/multistart.flip_hypotheses for undetected objects."""
+        from pose6d_tpu.ops.symmetry import disambiguation_bank
+        rng = np.random.default_rng(3)
+        verts = rng.normal(size=(500, 3)) * [50.0, 30.0, 15.0]
+        bank = disambiguation_bank(verts, max_rots=6, rel_tau=0.02)
+        assert np.allclose(bank[0], np.eye(3))
+        nontrivial = [R for R in bank
+                      if not np.allclose(R, np.eye(3), atol=1e-3)]
+        assert len(nontrivial) == 5  # 3 flips + two 90-deg turns
