@@ -92,6 +92,14 @@ class Predictor:
         self._diam = {int(k): float(np.linalg.norm(
             np.asarray(v["xyz"]).max(0) - np.asarray(v["xyz"]).min(0)))
             for k, v in cad_bank.items()}
+        # per-object detected-symmetry flip banks (host, once at init):
+        # the disambiguation stage tests exactly the rotations this
+        # object's geometry can be confused by (generic principal-axis
+        # fallback when nothing is detected — ops/symmetry.py)
+        from .ops.symmetry import disambiguation_bank
+        self._sym_rots = {int(k): jnp.asarray(
+            disambiguation_bank(np.asarray(v["xyz"]), max_rots=6))
+            for k, v in cad_bank.items()}
         self._rh = ransac_hypotheses
         self._icp_iters = icp_iters
         self._lobpcg_iters = lobpcg_iters
@@ -118,7 +126,7 @@ class Predictor:
         return pc, pc_valid
 
     def _pose_from_cloud(self, cad, pc_xyz, pc_valid, diam, key,
-                         K, obs_z, mask):
+                         K, obs_z, mask, sym_rots):
         if self.mode == "online":
             mass, evals, evecs = device_pc_operators(
                 pc_xyz, pc_valid, k_eig=self.cfg.k_eig,
@@ -136,7 +144,8 @@ class Predictor:
             from .solvers import disambiguate_pose_depth
             fix = disambiguate_pose_depth(
                 cad["xyz"], cad["valid"], pc["xyz"], pc["valid"],
-                out["R"], out["t"], diam, K, obs_z, mask)
+                out["R"], out["t"], diam, K, obs_z, mask,
+                sym_rots=sym_rots)
             out = dict(out)
             out["R"] = fix["R"]
             out["t"] = fix["t"]
@@ -208,7 +217,8 @@ class Predictor:
             out = self._jit_pose(cad, pc, pc_valid,
                                  jnp.float32(self._diam[int(obj_id)]), sub,
                                  jnp.asarray(K, jnp.float32), obs_z,
-                                 jnp.asarray(mask))
+                                 jnp.asarray(mask),
+                                 self._sym_rots[int(obj_id)])
             results.append({k: np.asarray(v) for k, v in out.items()})
         return results
 

@@ -19,6 +19,11 @@ def main():
     p.add_argument("--no-ply", action="store_true")
     p.add_argument("--ransac-threshold", type=float, default=0.05)
     p.add_argument("--gnc-noise-bound", type=float, default=0.05)
+    p.add_argument("--gnc-core", action="store_true",
+                   help="TEASER-parity mutual-consistency core peel "
+                        "before GNC (solvers/gnc.consistency_core) — "
+                        "for correspondences that did not pass the "
+                        "spatial filter")
     p.add_argument("--disambiguate", action="store_true",
                    help="depth-render flip disambiguation between the "
                         "solver and ICP (needs K in the result npzs)")
@@ -40,7 +45,7 @@ def main():
                    ransac_hypotheses=args.hypotheses,
                    gnc_noise_bound=args.gnc_noise_bound,
                    icp_target=args.icp_target, write_ply=not args.no_ply,
-                   disambiguate=args.disambiguate,
+                   disambiguate=args.disambiguate, gnc_core=args.gnc_core,
                    name_suffix=args.suffix, batch=args.batch)
 
 

@@ -85,6 +85,7 @@ class DPFMConfig:
             ref_n_layers=a["ref_n_layers"],
             overlap_feat_dim=o["overlap_feat_dim"],
             attention_type=a.get("attention_type", "normal"),
+            use_flash=bool(a.get("use_flash", True)),
             cross_sampling_ratio=float(a.get("cross_sampling_ratio", 1.0)),
             with_gradient_features=bool(
                 f.get("with_gradient_features", False)),

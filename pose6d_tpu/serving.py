@@ -43,6 +43,7 @@ from jax import export as _jax_export
 def _frame_fn(pred, obj_id):
     cad = pred.cad_bank[int(obj_id)]
     diam = jnp.float32(pred._diam[int(obj_id)])
+    sym_rots = pred._sym_rots[int(obj_id)]
 
     def frame(depth, K, cam_scale, mask, key):
         """depth (H,W) f32 raw BOP units; K (3,3) f32; cam_scale ()
@@ -50,7 +51,7 @@ def _frame_fn(pred, obj_id):
         pc, pc_valid = pred._cloud_from_depth(depth, K, cam_scale, mask)
         obs_z = depth * (100.0 / cam_scale)
         out = pred._pose_from_cloud(cad, pc, pc_valid, diam, key, K,
-                                    obs_z, mask)
+                                    obs_z, mask, sym_rots)
         keep = ("R", "t", "n_inliers", "icp_rmse", "overlap21")
         return {k: out[k] for k in keep if k in out}
 

@@ -64,12 +64,12 @@ def _splat_observed(pc, K, h: int, w: int):
 @functools.partial(jax.jit, static_argnames=(
     "solver", "disambiguate", "icp_target", "ransac_threshold",
     "ransac_hypotheses", "gnc_noise_bound", "icp_threshold",
-    "icp_max_iter"))
+    "icp_max_iter", "gnc_core"))
 def _pose_chunk(keys, src, dst, pvalid, cad, cad_valid, pc, pc_valid,
                 R_gt, t_gt, diam, K, obs_z, obs_mask, has_K, sym_rots, *,
                 solver, disambiguate, icp_target, ransac_threshold,
                 ransac_hypotheses, gnc_noise_bound, icp_threshold,
-                icp_max_iter):
+                icp_max_iter, gnc_core=False):
     """Batched solver -> (optional flip disambiguation) -> ICP -> metrics
     for B instances at once. All leading axes are the chunk axis."""
     f32 = jnp.float32
@@ -80,8 +80,8 @@ def _pose_chunk(keys, src, dst, pvalid, cad, cad_valid, pc, pc_valid,
             n_hypotheses=ransac_hypotheses))(keys, src, dst, pvalid)
     else:
         est = jax.vmap(lambda s, d, v, k: gnc_tls_pose(
-            s, d, v, noise_bound=gnc_noise_bound, key=k))(
-            src, dst, pvalid, keys)
+            s, d, v, noise_bound=gnc_noise_bound, key=k,
+            core_select=gnc_core))(src, dst, pvalid, keys)
     R_est, t_est = est["R"].astype(f32), est["t"].astype(f32)
 
     # flip disambiguation (between solver and protocol ICP): rank the
@@ -154,7 +154,8 @@ def run_pose_stage(results_dir, out_dir, solver: str = "ransac",
                    icp_threshold: float = 0.2, icp_max_iter: int = 50,
                    icp_target: str = "gt_cad", write_ply: bool = True,
                    disambiguate: bool = False, name_suffix: str = "",
-                   seed: int = 0, batch: int = 8):
+                   seed: int = 0, batch: int = 8,
+                   gnc_core: bool = False):
     """disambiguate: insert the depth-render flip-disambiguation stage
     (solvers/multistart.py, an addition over the reference) between the
     robust solver and the protocol ICP. Requires result npzs that carry
@@ -253,7 +254,7 @@ def run_pose_stage(results_dir, out_dir, solver: str = "ransac",
         icp_target=icp_target, ransac_threshold=ransac_threshold,
         ransac_hypotheses=ransac_hypotheses,
         gnc_noise_bound=gnc_noise_bound, icp_threshold=icp_threshold,
-        icp_max_iter=icp_max_iter)
+        icp_max_iter=icp_max_iter, gnc_core=gnc_core)
 
     def stack(rs, k):
         return jnp.asarray(np.stack([r[k] for r in rs]))
